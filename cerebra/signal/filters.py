@@ -1,0 +1,223 @@
+"""IIR filtering on device: design on host (scipy), apply in JAX.
+
+The reference designs Butterworth/Chebyshev/elliptic band-passes
+(utils/EEGFilters.py:26-39) and applies `scipy.signal.filtfilt` in a Python
+double loop over (sample, channel) (utils/Utilities.py:421-427 `remove_noise`)
+plus MNE band-pass/notch during ingest (ConvertToPth.py:106-111).
+
+TPU-first design:
+- Filter *design* stays on the host (tiny, done once). Filters are kept as
+  cascaded second-order sections (SOS) — the numerically stable form; a
+  float32 direct-form transfer function of a narrow-band 4th-order bandpass
+  diverges, SOS biquads do not.
+- Filter *application* is ONE `lax.scan` over time carrying per-section
+  biquad state, batched over all (trial, channel) lanes at once via
+  broadcasting — the whole corpus filters in one scan instead of N·C Python
+  calls. Sections are unrolled inside the step (static, 2-5 of them).
+- `filtfilt` reproduces scipy.signal.sosfiltfilt semantics exactly
+  (odd-padding, per-section zi scaled by the edge sample, default padlen).
+- `filtfilt_fft` is the production fast path: zero-phase filtering as
+  rfft → |H(f)|² multiply → irfft. One fused FFT kernel, no sequential
+  dependence — this is what the training data pipeline uses on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterSpec:
+    """Designed IIR filter as second-order sections.
+
+    sos: (n_sections, 6) rows [b0 b1 b2 a0 a1 a2] with a0 == 1.
+    zi:  (n_sections, 2) steady-state per-section initial conditions
+         (scipy.signal.sosfilt_zi), used for filtfilt edge handling.
+    """
+
+    sos: np.ndarray
+    zi: np.ndarray
+
+    @property
+    def n_sections(self) -> int:
+        return int(self.sos.shape[0])
+
+    @property
+    def default_padlen(self) -> int:
+        # scipy.signal.sosfiltfilt default: 3 * ntaps with ntaps reduced by
+        # shared trailing-zero second-order coefficients
+        ntaps = 2 * self.n_sections + 1
+        ntaps -= min(int((self.sos[:, 2] == 0).sum()), int((self.sos[:, 5] == 0).sum()))
+        return 3 * ntaps
+
+
+def _make_spec(sos: np.ndarray) -> FilterSpec:
+    from scipy import signal as sps
+
+    sos = np.asarray(sos, dtype=np.float64)
+    return FilterSpec(sos=sos, zi=sps.sosfilt_zi(sos))
+
+
+def design_bandpass(
+    lowcut: float,
+    highcut: float,
+    fs: float,
+    order: int = 4,
+    kind: str = "butter",
+    rp: float = 1.0,
+    rs: float = 20.0,
+) -> FilterSpec:
+    """Band-pass design bank (utils/EEGFilters.py:26-39; kinds: butter,
+    cheby1, cheby2, ellip; reference orders 3/4/5 with rp=1, rs=20)."""
+    from scipy import signal as sps
+
+    wn = [lowcut / (fs / 2.0), highcut / (fs / 2.0)]
+    if kind == "butter":
+        sos = sps.butter(order, wn, btype="bandpass", output="sos")
+    elif kind == "cheby1":
+        sos = sps.cheby1(order, rp, wn, btype="bandpass", output="sos")
+    elif kind == "cheby2":
+        sos = sps.cheby2(order, rs, wn, btype="bandpass", output="sos")
+    elif kind == "ellip":
+        sos = sps.ellip(order, rp, rs, wn, btype="bandpass", output="sos")
+    else:
+        raise ValueError(f"unknown filter kind: {kind}")
+    return _make_spec(sos)
+
+
+def design_notch(freq: float, fs: float, quality: float = 30.0) -> FilterSpec:
+    """Power-line notch (ConvertToPth.py:109-111 applies a 60 Hz notch)."""
+    from scipy import signal as sps
+
+    b, a = sps.iirnotch(freq, quality, fs)
+    return _make_spec(sps.tf2sos(b, a))
+
+
+def _sos_scan(sos: jax.Array, x: jax.Array, zi: Optional[jax.Array]) -> jax.Array:
+    """Cascaded-biquad (direct-form II transposed) filter over the LAST axis.
+
+    x: (..., T) — leading axes are parallel lanes. zi: (..., S, 2) or None.
+    One lax.scan; the S sections run unrolled inside each step.
+    """
+    n_sections = sos.shape[0]
+    batch_shape = x.shape[:-1]
+    if zi is None:
+        z0 = jnp.zeros(batch_shape + (n_sections, 2), dtype=x.dtype)
+    else:
+        z0 = jnp.broadcast_to(zi, batch_shape + (n_sections, 2)).astype(x.dtype)
+
+    xt = jnp.moveaxis(x, -1, 0)  # (T, ...)
+
+    def step(z, xn):
+        new_z = []
+        s_in = xn
+        for s in range(n_sections):
+            b0, b1, b2, _, a1, a2 = (sos[s, k] for k in range(6))
+            yn = b0 * s_in + z[..., s, 0]
+            z0n = b1 * s_in - a1 * yn + z[..., s, 1]
+            z1n = b2 * s_in - a2 * yn
+            new_z.append(jnp.stack([z0n, z1n], axis=-1))
+            s_in = yn
+        return jnp.stack(new_z, axis=-2), s_in
+
+    _, yt = jax.lax.scan(step, z0, xt)
+    return jnp.moveaxis(yt, 0, -1)
+
+
+def lfilter(spec: FilterSpec, x: jax.Array, zi_scale: Optional[jax.Array] = None) -> jax.Array:
+    """Causal IIR filter along the last axis (scipy.signal.sosfilt parity).
+
+    zi_scale, if given, multiplies the steady-state zi per lane (shape
+    broadcastable to x[..., 0]) — the filtfilt edge-condition trick.
+    """
+    sos = jnp.asarray(spec.sos, dtype=x.dtype)
+    zi = None
+    if zi_scale is not None:
+        zi = jnp.asarray(spec.zi, dtype=x.dtype) * zi_scale[..., None, None]
+    return _sos_scan(sos, x, zi)
+
+
+def filtfilt(spec: FilterSpec, x: jax.Array, padlen: Optional[int] = None) -> jax.Array:
+    """Zero-phase filtering along the last axis; scipy.signal.sosfiltfilt
+    parity (padtype='odd'). Replaces the (sample × channel) Python double
+    loop of utils/Utilities.py:421-427 with one batched scan pair."""
+    if padlen is None:
+        padlen = spec.default_padlen
+    T = x.shape[-1]
+    if padlen >= T:
+        raise ValueError(f"padlen {padlen} must be < signal length {T}")
+    # odd extension at both ends
+    left = 2.0 * x[..., :1] - x[..., padlen:0:-1]
+    right = 2.0 * x[..., -1:] - x[..., -2 : -padlen - 2 : -1]
+    ext = jnp.concatenate([left, x, right], axis=-1)
+    y = lfilter(spec, ext, zi_scale=ext[..., 0])
+    y = jnp.flip(y, axis=-1)
+    y = lfilter(spec, y, zi_scale=y[..., 0])
+    y = jnp.flip(y, axis=-1)
+    return y[..., padlen : padlen + T]
+
+
+def zero_phase_response(spec: FilterSpec, n_fft: int, dtype=jnp.float32) -> jax.Array:
+    """|H(e^{jw})|² sampled at rfft bins — the transfer function filtfilt
+    applies (host-side, float64, done once per filter/length)."""
+    w = 2.0 * np.pi * np.arange(n_fft // 2 + 1) / n_fft
+    ejw = np.exp(-1j * w)
+    h = np.ones_like(ejw)
+    for s in range(spec.n_sections):
+        b0, b1, b2, _, a1, a2 = spec.sos[s]
+        h = h * (b0 + b1 * ejw + b2 * ejw**2) / (1.0 + a1 * ejw + a2 * ejw**2)
+    return jnp.asarray((h * np.conj(h)).real, dtype=dtype)
+
+
+def filtfilt_fft(
+    spec: FilterSpec,
+    x: jax.Array,
+    h2: Optional[jax.Array] = None,
+    padlen: Optional[int] = None,
+) -> jax.Array:
+    """Zero-phase filter via FFT: irfft(rfft(odd_ext(x)) · |H|²), cropped.
+
+    The TPU hot path: one batched FFT pair, no sequential scan. Odd extension
+    (default half the signal at each end) suppresses the circular wrap-around
+    so it tracks `filtfilt` in the interior even for long impulse responses.
+    Pass a precomputed `h2` from `zero_phase_response(spec, T + 2*padlen)` to
+    keep the call fully jittable.
+    """
+    T = x.shape[-1]
+    if padlen is None:
+        padlen = T // 2
+    if padlen > 0:
+        left = 2.0 * x[..., :1] - x[..., padlen:0:-1]
+        right = 2.0 * x[..., -1:] - x[..., -2 : -padlen - 2 : -1]
+        ext = jnp.concatenate([left, x, right], axis=-1)
+    else:
+        ext = x
+    n = T + 2 * padlen
+    if h2 is None:
+        h2 = zero_phase_response(spec, n, dtype=x.dtype)
+    X = jnp.fft.rfft(ext, axis=-1)
+    y = jnp.fft.irfft(X * h2, n=n, axis=-1).astype(x.dtype)
+    return y[..., padlen : padlen + T]
+
+
+def bandpass_notch_pipeline(
+    x: jax.Array,
+    fs: float,
+    band: Tuple[float, float] = (14.0, 71.0),
+    notch: Optional[float] = 60.0,
+    order: int = 4,
+    use_fft: bool = True,
+) -> jax.Array:
+    """The ConvertToPth ingest filter chain (ConvertToPth.py:106-111):
+    band-pass then power-line notch, zero-phase, whole corpus at once."""
+    bp = design_bandpass(band[0], band[1], fs, order=order)
+    apply = filtfilt_fft if use_fft else filtfilt
+    y = apply(bp, x)
+    if notch is not None:
+        y = apply(design_notch(notch, fs), y)
+    return y

@@ -1,0 +1,18 @@
+"""Test config: force CPU with 8 virtual devices so mesh/collective paths run
+without TPU hardware (SURVEY.md §4 — the reference had no tests at all; we
+test distributed code via XLA's host-platform device emulation)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: tests never run on TPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,151 @@
+"""Parity tests: JAX signal kernels vs scipy/numpy golden values
+(SURVEY.md §4 test strategy — filters vs scipy filtfilt, norms vs torch ddof)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+from scipy import signal as sps
+
+from cerebra.signal import (
+    channel_wise_norm,
+    design_bandpass,
+    design_notch,
+    filtfilt,
+    filtfilt_fft,
+    lfilter,
+    melspectrogram,
+    mel_filterbank,
+    multicrop_views,
+    random_channel_norm_view,
+    three_view_augment,
+    time_window,
+    z2_score_norm,
+)
+from cerebra.signal.filters import zero_phase_response
+
+
+def _sig(rng, shape=(3, 5, 400)):
+    return rng.normal(size=shape).astype(np.float32)
+
+
+def test_lfilter_matches_scipy(rng):
+    spec = design_bandpass(1.0, 50.0, fs=1000.0, order=4)
+    x = _sig(rng)
+    got = np.asarray(lfilter(spec, jnp.asarray(x)))
+    want = sps.sosfilt(spec.sos, x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_filtfilt_matches_scipy(rng):
+    spec = design_bandpass(1.0, 50.0, fs=1000.0, order=4)
+    x = _sig(rng, (2, 3, 300))
+    got = np.asarray(filtfilt(spec, jnp.asarray(x)))
+    want = sps.sosfiltfilt(spec.sos, x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_filtfilt_matches_scipy_float64(rng):
+    """Exactness check under x64 — the float32 test above allows fp slack."""
+
+    spec = design_bandpass(1.0, 50.0, fs=1000.0, order=4)
+    x = rng.normal(size=(2, 256)).astype(np.float64)
+    with jax.enable_x64():
+        got = np.asarray(filtfilt(spec, jnp.asarray(x, dtype=jnp.float64)))
+    want = sps.sosfiltfilt(spec.sos, x, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_notch_kills_line_frequency():
+    fs, t = 1000.0, np.arange(1000) / 1000.0
+    x = np.sin(2 * np.pi * 60.0 * t).astype(np.float32)[None, :]
+    spec = design_notch(60.0, fs)
+    # scan path: exact scipy parity (scipy itself leaves a Q=30 transient)
+    y = np.asarray(filtfilt(spec, jnp.asarray(x)))
+    want = sps.sosfiltfilt(spec.sos, x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(y, want, rtol=1e-2, atol=1e-3)
+    # FFT zero-phase path (circular, exact for a periodic signal): kills the
+    # line frequency outright
+    yf = np.asarray(filtfilt_fft(spec, jnp.asarray(x), padlen=0))
+    assert np.abs(yf).max() < 1e-4
+
+
+def test_filtfilt_fft_close_to_filtfilt_interior(rng):
+    # the ingest band (ConvertToPth.py:106-107); impulse response short
+    # enough for the FFT fast path to track the exact scan path
+    spec = design_bandpass(14.0, 71.0, fs=1000.0, order=4)
+    x = _sig(rng, (4, 512))
+    a = np.asarray(filtfilt(spec, jnp.asarray(x)))
+    b = np.asarray(filtfilt_fft(spec, jnp.asarray(x)))
+    np.testing.assert_allclose(a[:, 64:-64], b[:, 64:-64], rtol=0.05, atol=0.06)
+
+
+def test_zero_phase_response_precompute(rng):
+    spec = design_bandpass(14.0, 71.0, fs=1000.0, order=4)
+    x = jnp.asarray(_sig(rng, (4, 512)))
+    h2 = zero_phase_response(spec, 512 + 2 * 256)
+    np.testing.assert_allclose(
+        np.asarray(filtfilt_fft(spec, x, h2=h2)), np.asarray(filtfilt_fft(spec, x)), atol=1e-6
+    )
+
+
+def test_channel_wise_norm_matches_torch_ddof(rng):
+    x = _sig(rng, (2, 50, 6))
+    got = np.asarray(channel_wise_norm(jnp.asarray(x)))
+    t = torch.from_numpy(x)
+    want = ((t - t.mean(dim=1, keepdim=True)) / t.std(dim=1, keepdim=True)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got.mean(axis=1), 0.0, atol=1e-5)
+
+
+def test_z2_score(rng):
+    x = _sig(rng, (3, 50, 6))
+    y = np.asarray(z2_score_norm(jnp.asarray(x)))
+    for i in range(3):
+        assert abs(y[i].mean()) < 1e-5
+        assert abs(y[i].std(ddof=1) - 1.0) < 1e-4
+
+
+def test_random_channel_norm_view(rng):
+    x = jnp.asarray(_sig(rng, (64, 16)))
+    y = random_channel_norm_view(jax.random.key(0), x, n_channels=4)
+    changed = np.abs(np.asarray(y) - np.asarray(x)).max(axis=0) > 1e-6
+    assert 1 <= changed.sum() <= 4  # with-replacement draws may collide
+
+
+def test_three_view_augment_shapes(rng):
+    x = jnp.asarray(_sig(rng, (5, 60, 8)))
+    v = three_view_augment(jax.random.key(1), x)
+    assert v.shape == (5, 3, 60, 8)
+    np.testing.assert_allclose(np.asarray(v[:, 0]), np.asarray(x))
+
+
+def test_multicrop_views():
+    x = jnp.asarray(np.arange(2 * 500 * 4, dtype=np.float32).reshape(2, 500, 4))
+    g, l = multicrop_views(jax.random.key(0), x, 300, 200, 2, 4)
+    assert g.shape == (2, 2, 300, 4) and l.shape == (4, 2, 200, 4)
+    # each crop is a contiguous time slice
+    col = np.asarray(g[0, 0, :, 0])
+    np.testing.assert_allclose(np.diff(col), 4.0)
+
+
+def test_time_window():
+    x = jnp.zeros((2, 500, 96))
+    assert time_window(x, 20, 480).shape == (2, 460, 96)
+
+
+def test_mel_filterbank_matches_librosa_or_shape():
+    fb = mel_filterbank(sr=256.0, n_fft=256, n_mels=32)
+    assert fb.shape == (32, 129)
+    assert (fb >= 0).all() and fb.sum() > 0
+    librosa = pytest.importorskip("librosa")
+    want = librosa.filters.mel(sr=256.0, n_fft=256, n_mels=32)
+    np.testing.assert_allclose(fb, want, rtol=1e-4, atol=1e-6)
+
+
+def test_melspectrogram_shapes_and_energy(rng):
+    x = jnp.asarray(rng.normal(size=(2, 3, 512)).astype(np.float32))
+    m = melspectrogram(x, sr=256.0, n_mels=32)
+    assert m.shape[:3] == (2, 3, 32)
+    assert np.all(np.asarray(m) >= -1e-6)
