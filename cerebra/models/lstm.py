@@ -1,0 +1,233 @@
+"""The reconstructed `models/lstm.Model` — the reference's flagship encoder.
+
+The reference imports `from models.lstm import Model` in all four
+LstmDistill* entry points, but `models/` is MISSING from its tree
+(SURVEY.md §0). The class is reconstructed from its call sites:
+
+- ctor `Model(input_size, lstm_size, lstm_layers, output_size,
+  include_top=True)` (LstmDistillFromDinoV2Train.py:323);
+- consumes (B, T, C) EEG; with include_top returns `(features, cls_pred)`
+  (LstmDistillFromDinoV2Train.py:365), without it returns features only
+  (LstmDistillation.py:427-428);
+- used as a MultiCropWrapper backbone whose `.fc`/`.head` are replaced by
+  Identity, after which its output dim equals `lstm_size`
+  (LstmDistillation.py:426-440: embed_dim = lstm_size = 128 feeds
+  DINOHead(128, ...)) — i.e. the raw last hidden state;
+- README.md:5-8 points at the Spampinato-style Kaggle LSTM: stacked LSTM →
+  last hidden state → Linear + ReLU (features) → Linear class head.
+
+TPU-first implementation notes (this is the headline windows/sec kernel,
+SURVEY.md §8 "hard parts"):
+- All four gates of all timesteps' INPUT projections are ONE batched matmul
+  per layer: (B·T, C) @ (C, 4H) rides the MXU before the scan starts.
+- The `lax.scan` over time then carries only the recurrent half:
+  (B, H) @ (H, 4H) per step — the minimal sequential work.
+- Gate order follows the torch convention [i, f, g, o] so checkpoints
+  export/import to the reference `.pth` layout
+  (lstm.weight_ih_l{k}/weight_hh_l{k}/bias_ih_l{k}/bias_hh_l{k}).
+- `param_dtype` stays float32; `dtype=bfloat16` runs the matmuls on the MXU
+  in bf16 with float32 cell state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _uniform_init(scale: float):
+    def init(key, shape, dtype):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
+class LSTMStack(nn.Module):
+    """Multi-layer LSTM over (B, T, C) → all hidden states of the top layer.
+
+    Fused-gate formulation: per layer, input projections for every timestep
+    are precomputed as one (B·T, in) @ (in, 4H) matmul; the scan carries
+    (h, c) and adds the (B, H) @ (H, 4H) recurrent projection per step.
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, T, _ = x.shape
+        H = self.hidden_size
+        scale = 1.0 / (H**0.5)  # torch LSTM default init range
+        compute_dtype = self.dtype or x.dtype
+
+        h_seq = x
+        for layer in range(self.num_layers):
+            in_dim = h_seq.shape[-1]
+            w_ih = self.param(
+                f"w_ih_l{layer}", _uniform_init(scale), (in_dim, 4 * H), self.param_dtype
+            )
+            w_hh = self.param(
+                f"w_hh_l{layer}", _uniform_init(scale), (H, 4 * H), self.param_dtype
+            )
+            b_ih = self.param(f"b_ih_l{layer}", _uniform_init(scale), (4 * H,), self.param_dtype)
+            b_hh = self.param(f"b_hh_l{layer}", _uniform_init(scale), (4 * H,), self.param_dtype)
+
+            # one MXU matmul for all timesteps' input gates
+            x_proj = (
+                h_seq.astype(compute_dtype) @ w_ih.astype(compute_dtype)
+                + (b_ih + b_hh).astype(compute_dtype)
+            )  # (B, T, 4H)
+            x_proj_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
+
+            w_hh_c = w_hh.astype(compute_dtype)
+            h0 = jnp.zeros((B, H), dtype=compute_dtype)
+            c0 = jnp.zeros((B, H), dtype=jnp.float32)  # cell state in f32
+
+            def step(carry, xp, w_hh_c=w_hh_c):
+                h, c = carry
+                gates = xp + h @ w_hh_c  # (B, 4H)
+                i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, axis=-1)
+                c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h_new = (jax.nn.sigmoid(o) * jnp.tanh(c_new)).astype(compute_dtype)
+                return (h_new, c_new), h_new
+
+            (_, _), h_all = jax.lax.scan(step, (h0, c0), x_proj_t)
+            h_seq = jnp.swapaxes(h_all, 0, 1)  # (B, T, H)
+        return h_seq
+
+
+class Model(nn.Module):
+    """Reconstructed `models.lstm.Model` (see module docstring).
+
+    __call__(eeg (B, T, C), features_only=False):
+      features_only=True  → raw last hidden state (B, lstm_size) — the
+                            MultiCropWrapper backbone path (fc/head := Id).
+      include_top=False   → features = relu(fc(h_last)) (B, output_size).
+      include_top=True    → (features, cls_pred (B, n_classes)).
+    """
+
+    input_size: int
+    lstm_size: int
+    lstm_layers: int
+    output_size: int
+    include_top: bool = True
+    n_classes: int = 40  # the EEG-ImageNet subset (SURVEY.md §0)
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, features_only: bool = False
+    ) -> jax.Array | Tuple[jax.Array, jax.Array]:
+        h_all = LSTMStack(
+            self.lstm_size, self.lstm_layers, dtype=self.dtype, param_dtype=self.param_dtype, name="lstm"
+        )(x)
+        h_last = h_all[:, -1, :]
+        if features_only:
+            return h_last
+        feats = nn.relu(
+            nn.Dense(self.output_size, dtype=self.dtype, param_dtype=self.param_dtype, name="fc")(h_last)
+        )
+        if not self.include_top:
+            return feats
+        cls = nn.Dense(
+            self.n_classes, dtype=self.dtype, param_dtype=self.param_dtype, name="head"
+        )(feats)
+        return feats, cls
+
+
+class InlineLSTM(nn.Module):
+    """The inline LSTMModel of LSTMDistill.py:112-147 (4-layer) /
+    LSTMDistillRetreival.py:85-115 (2-layer): LSTM → fc(output) → class head.
+
+    The reference "transposes" its (B, C, T) input with `.view(B, C, T)` —
+    a memory reinterpretation, not a transpose (SURVEY.md §7.4). Default here
+    is a real transpose; `compat_view_bug=True` reproduces the reference's
+    scrambled layout for parity experiments.
+    """
+
+    input_size: int
+    hidden_size: int
+    num_layers: int
+    output_size: int
+    n_classes: int = 40
+    compat_view_bug: bool = False
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        if x.shape[-1] != self.input_size and x.shape[-2] == self.input_size:
+            if self.compat_view_bug:
+                x = x.reshape(x.shape[0], -1).reshape(x.shape[0], x.shape[2], x.shape[1])
+            else:
+                x = jnp.swapaxes(x, -1, -2)
+        h_all = LSTMStack(
+            self.hidden_size, self.num_layers, dtype=self.dtype, param_dtype=self.param_dtype, name="lstm"
+        )(x)
+        h_last = h_all[:, -1, :]
+        feats = nn.Dense(self.output_size, dtype=self.dtype, param_dtype=self.param_dtype, name="fc")(h_last)
+        cls = nn.Dense(self.n_classes, dtype=self.dtype, param_dtype=self.param_dtype, name="head")(feats)
+        return feats, cls
+
+
+# ------------------------------------------------------------------ interop
+def export_torch_state_dict(params) -> dict:
+    """Map flax params → the torch `.pth` naming convention so reference
+    tooling (strict `backbone.`-prefix loaders, LstmDistillFromDinoV2Eval.py:
+    309-313) can consume our checkpoints. Returns numpy arrays keyed like
+    `lstm.weight_ih_l0` / `fc.weight` / `head.weight`."""
+    import numpy as np
+
+    out = {}
+    p = params["params"] if "params" in params else params
+    lstm = p.get("lstm", {})
+    for name, val in lstm.items():
+        kind, layer = name.rsplit("_l", 1)
+        torch_kind = {"w_ih": "weight_ih", "w_hh": "weight_hh", "b_ih": "bias_ih", "b_hh": "bias_hh"}[kind]
+        arr = np.asarray(val)
+        if arr.ndim == 2:
+            arr = arr.T  # torch stores (4H, in)
+        out[f"lstm.{torch_kind}_l{layer}"] = arr
+    for mod in ("fc", "head"):
+        if mod in p:
+            out[f"{mod}.weight"] = np.asarray(p[mod]["kernel"]).T
+            out[f"{mod}.bias"] = np.asarray(p[mod]["bias"])
+    return out
+
+
+def import_torch_state_dict(state_dict, strip_prefixes=("module.", "backbone.")) -> dict:
+    """Inverse of `export_torch_state_dict`, with the reference's prefix
+    stripping (utils/utils.py:71-109, LstmDistillFromDinoV2Eval.py:309-313)."""
+    import numpy as np
+
+    cleaned = {}
+    for k, v in state_dict.items():
+        for pref in strip_prefixes:
+            if k.startswith(pref):
+                k = k[len(pref) :]
+        cleaned[k] = np.asarray(v, dtype=np.float32)
+    params: dict = {"lstm": {}}
+    for k, v in cleaned.items():
+        if k.startswith("lstm."):
+            name = k[len("lstm.") :]
+            kind, layer = name.rsplit("_l", 1)
+            flax_kind = {
+                "weight_ih": "w_ih",
+                "weight_hh": "w_hh",
+                "bias_ih": "b_ih",
+                "bias_hh": "b_hh",
+            }[kind]
+            params["lstm"][f"{flax_kind}_l{layer}"] = v.T if v.ndim == 2 else v
+        elif k.endswith(".weight"):
+            params.setdefault(k[: -len(".weight")], {})["kernel"] = v.T
+        elif k.endswith(".bias"):
+            params.setdefault(k[: -len(".bias")], {})["bias"] = v
+    return {"params": params}

@@ -1,0 +1,35 @@
+"""Multi-crop forwarding (utils/utils.py:598-633 MultiCropWrapper, TPU-style).
+
+The reference wrapper groups same-resolution crops and runs one backbone
+forward per group, then the head on the concatenation. Here crops arrive
+already stacked per resolution group ((n_views, B, L, C), see
+cerebra.signal.windows.multicrop_views), so each group is ONE reshaped
+batched forward — maximal MXU batch, no Python-side grouping logic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def multicrop_forward(
+    backbone: Callable[[jax.Array], jax.Array],
+    head: Callable[[jax.Array], jax.Array],
+    view_groups: Sequence[jax.Array],
+) -> jax.Array:
+    """Run `backbone` once per same-length view group and `head` once on the
+    concatenated features.
+
+    view_groups: sequence of (n_views_g, B, L_g, C) arrays (L_g may differ
+    between groups). Returns (total_views · B, out_dim), views ordered
+    group-by-group then view-by-view — matching the reference's cat order.
+    """
+    feats = []
+    for group in view_groups:
+        n_views, B, L, C = group.shape
+        flat = group.reshape(n_views * B, L, C)
+        feats.append(backbone(flat))
+    return head(jnp.concatenate(feats, axis=0))
