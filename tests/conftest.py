@@ -9,6 +9,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers a remote TPU ("axon") PJRT
+# backend and overrides JAX_PLATFORMS; pin the config back to CPU so the test
+# suite is hermetic and fast.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
