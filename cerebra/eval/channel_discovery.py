@@ -1,0 +1,124 @@
+"""Greedy channel discovery — vectorized over the channel axis.
+
+The reference sweeps channels greedily (TestRetrieval_Perils_DiscoverChannels
+.py:125-353 for 96-ch Perils; TestRetrieval_DiscoverChannels.py:189-425 for
+128-ch Spampinato): each iteration tries every remaining channel, rebuilds a
+faiss gallery over the fixed-set ∪ candidate time slices, and keeps the
+channel with the best macro recall — ~C²/2 faiss index rebuilds, hours on CPU.
+
+TPU-first key identity: squared L2 over concatenated per-channel features is
+ADDITIVE across channels,
+
+    d_{S∪{c}}(q, g) = Σ_{s∈S} d_s(q, g) + d_c(q, g),
+
+so the per-channel distance tensors D[c] ∈ (Nq, Ng) are computed ONCE as one
+einsum, and every greedy iteration is a broadcast add + batched top-k over
+all candidates simultaneously — no feature rebuilds at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def per_channel_distances(gallery: jax.Array, query: jax.Array) -> jax.Array:
+    """Per-channel squared-L2 distance tensors.
+
+    gallery: (Ng, T, C); query: (Nq, T, C) → (C, Nq, Ng). One einsum for the
+    cross terms (MXU), broadcast adds for the norms.
+    """
+    g = gallery.astype(jnp.float32)
+    q = query.astype(jnp.float32)
+    cross = jnp.einsum("qtc,gtc->cqg", q, g)  # (C, Nq, Ng)
+    g_sq = jnp.sum(g * g, axis=1).T  # (C, Ng)
+    q_sq = jnp.sum(q * q, axis=1).T  # (C, Nq)
+    return q_sq[:, :, None] - 2.0 * cross + g_sq[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_classes"))
+def recall_for_distances(
+    d: jax.Array,  # (..., Nq, Ng)
+    gallery_labels: jax.Array,  # (Ng,)
+    query_labels: jax.Array,  # (Nq,)
+    k: int,
+    n_classes: int,
+) -> jax.Array:
+    """Macro per-class recall (reference rounding: per-class values rounded
+    to 2 decimals before averaging, utils/Utilities.py:155-164) for a batch
+    of distance matrices. Returns (...,) recalls."""
+    _, idx = jax.lax.top_k(-d, k)  # (..., Nq, k)
+    neigh = gallery_labels[idx]
+    tp = jnp.any(neigh == query_labels[..., :, None], axis=-1).astype(jnp.float32)
+    onehot = jax.nn.one_hot(query_labels, n_classes, dtype=jnp.float32)  # (Nq, n_classes)
+    counts = jnp.sum(onehot, axis=0)  # (n_classes,)
+    tp_per_class = jnp.einsum("...q,qc->...c", tp, onehot)
+    present = counts > 0
+    recall_c = jnp.round(tp_per_class * 100.0 / jnp.maximum(counts, 1.0) * 100.0) / 100.0
+    return jnp.sum(jnp.where(present, recall_c, 0.0), axis=-1) / jnp.sum(present)
+
+
+@dataclasses.dataclass
+class ChannelDiscoveryResult:
+    selected: List[int]  # greedy-ordered channel indices
+    recalls: List[float]  # best recall after adding each channel
+    per_iteration: List[np.ndarray]  # candidate-recall vector per iteration
+
+
+def greedy_channel_discovery(
+    gallery: np.ndarray,  # (Ng, T, C)
+    query: np.ndarray,  # (Nq, T, C)
+    gallery_labels: np.ndarray,
+    query_labels: np.ndarray,
+    top_k: int = 5,
+    n_classes: Optional[int] = None,
+    max_channels: Optional[int] = None,
+    stop_on_no_improvement: bool = True,
+) -> ChannelDiscoveryResult:
+    """The full greedy sweep (TestRetrieval_Perils_DiscoverChannels.py:
+    130-353) as max_channels device calls over precomputed distances.
+
+    Stopping rule mirrors the reference (:331-351): keep the argmax channel
+    each iteration; stop when the best candidate no longer improves on the
+    best recall seen so far.
+    """
+    C = gallery.shape[-1]
+    if n_classes is None:
+        n_classes = int(max(gallery_labels.max(), query_labels.max())) + 1
+    if max_channels is None:
+        max_channels = C
+    D = per_channel_distances(jnp.asarray(gallery), jnp.asarray(query))  # (C, Nq, Ng)
+    g_lab = jnp.asarray(gallery_labels)
+    q_lab = jnp.asarray(query_labels)
+
+    selected: List[int] = []
+    recalls: List[float] = []
+    per_iteration: List[np.ndarray] = []
+    accum = jnp.zeros(D.shape[1:], dtype=jnp.float32)
+    best_so_far = -np.inf
+    taken = np.zeros(C, dtype=bool)
+
+    for _ in range(max_channels):
+        cand_d = accum[None] + D  # (C, Nq, Ng)
+        cand_recall = np.array(
+            recall_for_distances(cand_d, g_lab, q_lab, top_k, n_classes)
+        )
+        cand_recall[taken] = -np.inf
+        per_iteration.append(cand_recall.copy())
+        best_c = int(np.argmax(cand_recall))
+        best_r = float(cand_recall[best_c])
+        if stop_on_no_improvement and best_r <= best_so_far:
+            break
+        best_so_far = best_r
+        taken[best_c] = True
+        selected.append(best_c)
+        recalls.append(best_r)
+        accum = accum + D[best_c]
+
+    return ChannelDiscoveryResult(selected=selected, recalls=recalls, per_iteration=per_iteration)
