@@ -1,0 +1,318 @@
+"""End-to-end training recipes (the reference's L5 entry-point loops as
+library functions; CLIs are thin argparse wrappers around these).
+
+- `feature_distill_train`: LstmDistillFromDinoV2Train.py:351-440 — LSTM
+  regresses EEG windows onto cached teacher (DINOv2) features with
+  FeatureDistributionLoss v1; RMSprop; retrieval eval every
+  `validation_frequency` epochs with best-checkpoint tracking.
+- `dino_selfdistill_train`: LstmDistillation.py:526-651 — DINO student/
+  teacher LSTMs with temporal multi-crop, EMA teacher, centered/sharpened CE,
+  cosine lr/wd/momentum schedules.
+
+TPU shape: whole corpora live as device arrays; an epoch is a sequence of
+jitted steps over index batches (no host dataloader); batches are sharded
+over the mesh's data axis when one is provided.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cerebra.data.sampling import epoch_batches
+from cerebra.eval.retrieval import retrieval_recall_precision
+from cerebra.losses import feature_distribution_loss_v1, teacher_temp_schedule
+from cerebra.models import DINOHead, Model
+from cerebra.parallel.mesh import data_sharding, make_mesh, replicated
+from cerebra.train.optim import make_optimizer
+from cerebra.train.schedules import cosine_scheduler
+from cerebra.train.steps import (
+    DinoTrainState,
+    TrainState,
+    make_dino_step,
+    make_feature_distill_step,
+    make_scheduled_optimizer,
+)
+
+
+@dataclasses.dataclass
+class FeatureDistillConfig:
+    """Defaults = LstmDistillFromDinoV2Train.py flags/HyperParams
+    (:16-25, :329: RMSprop lr 1e-3, batch 16, warmup T 1.5→0.22 over 50)."""
+
+    num_epochs: int = 100
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    optimizer: str = "rmsprop"
+    lstm_size: int = 96
+    lstm_layers: int = 2
+    alpha: float = 0.5
+    beta: float = 0.5
+    warmup_teacher_temp: float = 1.5
+    teacher_temp: float = 0.22
+    warmup_teacher_temp_epochs: int = 50
+    validation_frequency: int = 5
+    top_k: int = 5
+    seed: int = 43
+    dtype: Any = None
+
+
+def feature_distill_train(
+    train_eeg: np.ndarray,  # (Nt, T, C)
+    train_feats: np.ndarray,  # (Nt, F) cached teacher features
+    train_labels: np.ndarray,  # (Nt,)
+    val_eeg: np.ndarray,
+    val_feats: np.ndarray,
+    val_labels: np.ndarray,
+    config: FeatureDistillConfig = FeatureDistillConfig(),
+    mesh=None,
+    n_classes: Optional[int] = None,
+    log_fn: Callable[[str], None] = print,
+) -> Tuple[TrainState, Dict[str, List]]:
+    """The README-blessed train() recipe. Returns (state, history)."""
+    cfg = config
+    n_channels = train_eeg.shape[-1]
+    feat_dim = train_feats.shape[-1]
+    if n_classes is None:
+        n_classes = int(max(train_labels.max(), val_labels.max())) + 1
+
+    model = Model(
+        input_size=n_channels,
+        lstm_size=cfg.lstm_size,
+        lstm_layers=cfg.lstm_layers,
+        output_size=feat_dim,
+        include_top=True,
+        n_classes=n_classes,
+        dtype=cfg.dtype,
+    )
+    key = jax.random.key(cfg.seed)
+    params = model.init(key, jnp.asarray(train_eeg[:1]))["params"]
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    temps = jnp.asarray(
+        teacher_temp_schedule(
+            cfg.warmup_teacher_temp, cfg.teacher_temp, cfg.warmup_teacher_temp_epochs,
+            cfg.num_epochs,
+        ),
+        dtype=jnp.float32,
+    )
+
+    def loss_fn(feats, cls_pred, teacher_feats, labels, epoch):
+        return feature_distribution_loss_v1(
+            feats, teacher_feats, labels, cls_pred, temperature=temps[epoch],
+            alpha=cfg.alpha, beta=cfg.beta,
+        )
+
+    step = make_feature_distill_step(model.apply, tx, loss_fn)
+
+    # device-resident corpora; batch sharded over the data axis if meshed
+    def put(x, sharded=False):
+        x = jnp.asarray(x)
+        if mesh is not None:
+            return jax.device_put(x, data_sharding(mesh, x.ndim) if sharded else replicated(mesh))
+        return x
+
+    train_eeg_d = put(np.asarray(train_eeg))
+    train_feats_d = put(np.asarray(train_feats))
+    train_labels_d = put(np.asarray(train_labels))
+
+    transform = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+
+    def corpus_features(p, eeg):
+        return np.asarray(transform(p, jnp.asarray(eeg)))
+
+    history: Dict[str, List] = {"train_loss": [], "val_loss": [], "recall": [], "precision": [],
+                                "epoch_time_s": [], "windows_per_s": []}
+    best_val, best_epoch, best_params = None, -1, None
+
+    for epoch in range(cfg.num_epochs):
+        t0 = time.perf_counter()
+        batches, _ = epoch_batches(len(train_eeg), cfg.batch_size, seed=cfg.seed, epoch=epoch)
+        losses = []
+        for idx in batches:
+            state, metrics = step(
+                state, train_eeg_d[idx], train_feats_d[idx], train_labels_d[idx], epoch
+            )
+            losses.append(metrics["loss"])
+        epoch_loss = float(np.mean([float(l) for l in losses]))
+        dt = time.perf_counter() - t0
+        history["train_loss"].append(epoch_loss)
+        history["epoch_time_s"].append(dt)
+        history["windows_per_s"].append(len(batches) * cfg.batch_size / dt)
+
+        if cfg.validation_frequency and epoch % cfg.validation_frequency == 0 and epoch > 0:
+            gallery = corpus_features(state.params, train_eeg)
+            query = corpus_features(state.params, val_eeg)
+            recall, precision, _, _ = retrieval_recall_precision(
+                jnp.asarray(gallery), jnp.asarray(query),
+                jnp.asarray(train_labels), jnp.asarray(val_labels), k=cfg.top_k,
+            )
+            history["recall"].append((epoch, recall))
+            history["precision"].append((epoch, precision))
+
+            vfeats, vcls = model.apply({"params": state.params}, jnp.asarray(val_eeg))
+            val_loss = float(
+                feature_distribution_loss_v1(
+                    vfeats, jnp.asarray(val_feats), jnp.asarray(val_labels), vcls,
+                    temperature=temps[epoch], alpha=cfg.alpha, beta=cfg.beta,
+                )
+            )
+            history["val_loss"].append((epoch, val_loss))
+            if best_val is None or val_loss < best_val:
+                best_val, best_epoch = val_loss, epoch
+                best_params = jax.tree.map(np.asarray, state.params)
+            log_fn(
+                f"EPOCH {epoch} train_loss: {epoch_loss:.6f} val_loss: {val_loss:.6f} "
+                f"R: {recall:.2f} P: {precision:.2f} best: {best_val:.6f}@{best_epoch}"
+            )
+        else:
+            log_fn(f"EPOCH {epoch} train_loss: {epoch_loss:.6f}")
+
+    history["best"] = [(best_epoch, best_val)]
+    history["best_params"] = [best_params]
+    return state, history
+
+
+@dataclasses.dataclass
+class DinoSelfDistillConfig:
+    """Defaults = LstmDistillation.py flags (:195-346): out_dim 384,
+    momentum 0.996, teacher_temp 0.04 with warmup, batch/gpu 8, AdamW,
+    crops 2×300 + 4×200."""
+
+    epochs: int = 100
+    batch_size_per_device: int = 8
+    out_dim: int = 384
+    embed_dim: int = 128
+    lstm_layers: int = 4
+    lr: float = 0.0005
+    min_lr: float = 1e-6
+    warmup_epochs: int = 10
+    weight_decay: float = 0.04
+    weight_decay_end: float = 0.4
+    momentum_teacher: float = 0.996
+    teacher_temp: float = 0.04
+    warmup_teacher_temp: float = 0.04
+    warmup_teacher_temp_epochs: int = 0
+    clip_grad: float = 3.0
+    freeze_last_layer: int = 1
+    global_length: int = 300
+    local_length: int = 200
+    n_global: int = 2
+    n_local: int = 4
+    norm_last_layer: bool = True
+    use_bn_in_head: bool = False
+    compat_reference_pairing: bool = False
+    seed: int = 0
+    dtype: Any = None
+
+
+def build_dino_models(n_channels: int, cfg: DinoSelfDistillConfig):
+    backbone = Model(
+        input_size=n_channels, lstm_size=cfg.embed_dim, lstm_layers=cfg.lstm_layers,
+        output_size=cfg.embed_dim, include_top=False, dtype=cfg.dtype,
+    )
+    head = DINOHead(
+        in_dim=cfg.embed_dim, out_dim=cfg.out_dim, use_bn=cfg.use_bn_in_head,
+        norm_last_layer=cfg.norm_last_layer, dtype=cfg.dtype,
+    )
+    return backbone, head
+
+
+def dino_selfdistill_train(
+    train_eeg: np.ndarray,  # (N, T, C)
+    config: DinoSelfDistillConfig = DinoSelfDistillConfig(),
+    mesh=None,
+    log_fn: Callable[[str], None] = print,
+    checkpoint_cb: Optional[Callable[[int, DinoTrainState], None]] = None,
+) -> Tuple[DinoTrainState, Dict[str, List]]:
+    """LstmDistillation recipe (SURVEY.md §3.2). Returns (state, history)."""
+    cfg = config
+    n_devices = 1 if mesh is None else mesh.devices.size
+    global_batch = cfg.batch_size_per_device * n_devices
+    n = len(train_eeg)
+    niter_per_ep = max(n // global_batch, 1)
+    n_channels = train_eeg.shape[-1]
+
+    backbone, head = build_dino_models(n_channels, cfg)
+    key = jax.random.key(cfg.seed)
+    k1, k2, key = jax.random.split(key, 3)
+    dummy = jnp.zeros((1, cfg.global_length, n_channels), dtype=jnp.float32)
+    b_params = backbone.init(k1, dummy, features_only=True)["params"]
+    h_params = head.init(k2, jnp.zeros((1, cfg.embed_dim)))["params"]
+    student_params = {"backbone": b_params, "head": h_params}
+    teacher_params = jax.tree.map(jnp.copy, student_params)  # teacher ← student init
+
+    # linear-scaling rule (dino/main_dino.py:257-262)
+    lr_schedule = cosine_scheduler(
+        cfg.lr * global_batch / 256.0, cfg.min_lr, cfg.epochs, niter_per_ep,
+        warmup_epochs=min(cfg.warmup_epochs, cfg.epochs),
+    )
+    wd_schedule = cosine_scheduler(cfg.weight_decay, cfg.weight_decay_end, cfg.epochs, niter_per_ep)
+    momentum_schedule = cosine_scheduler(cfg.momentum_teacher, 1.0, cfg.epochs, niter_per_ep)
+    temps = teacher_temp_schedule(
+        cfg.warmup_teacher_temp, cfg.teacher_temp, cfg.warmup_teacher_temp_epochs, cfg.epochs
+    )
+
+    tx = make_scheduled_optimizer(
+        "adamw", lr_schedule, wd_schedule, params_mask_source=student_params,
+        clip_grad=cfg.clip_grad,
+    )
+    state = DinoTrainState(
+        step=jnp.zeros([], jnp.int32),
+        student_params=student_params,
+        teacher_params=teacher_params,
+        opt_state=tx.init(student_params),
+        center=jnp.zeros((1, cfg.out_dim), dtype=jnp.float32),
+    )
+
+    step = make_dino_step(
+        backbone_apply=lambda p, x, features_only=True: backbone.apply(p, x, features_only=features_only),
+        head_apply=lambda p, f: head.apply(p, f),
+        tx=tx,
+        lr_schedule=jnp.asarray(lr_schedule, dtype=jnp.float32),
+        wd_schedule=jnp.asarray(wd_schedule, dtype=jnp.float32),
+        momentum_schedule=jnp.asarray(momentum_schedule, dtype=jnp.float32),
+        teacher_temp_by_epoch=jnp.asarray(temps, dtype=jnp.float32),
+        niter_per_ep=niter_per_ep,
+        global_length=cfg.global_length,
+        local_length=cfg.local_length,
+        n_global=cfg.n_global,
+        n_local=cfg.n_local,
+        freeze_last_layer=cfg.freeze_last_layer,
+        compat_reference_pairing=cfg.compat_reference_pairing,
+    )
+
+    def put_batch(x):
+        x = jnp.asarray(x)
+        if mesh is not None:
+            return jax.device_put(x, data_sharding(mesh, x.ndim))
+        return x
+
+    eeg_all = np.asarray(train_eeg, dtype=np.float32)
+    history: Dict[str, List] = {"loss": [], "epoch_time_s": [], "windows_per_s": []}
+
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        batches, _ = epoch_batches(n, global_batch, seed=cfg.seed, epoch=epoch)
+        batches = batches[:niter_per_ep]
+        losses = []
+        for it, idx in enumerate(batches):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, put_batch(eeg_all[idx]), sub)
+            losses.append(metrics["loss"])
+        loss = float(np.mean([float(l) for l in losses]))
+        dt = time.perf_counter() - t0
+        history["loss"].append(loss)
+        history["epoch_time_s"].append(dt)
+        history["windows_per_s"].append(len(batches) * global_batch / dt)
+        log_fn(f"EPOCH {epoch} dino_loss: {loss:.6f} ({history['windows_per_s'][-1]:.1f} windows/s)")
+        if checkpoint_cb is not None:
+            checkpoint_cb(epoch, state)
+
+    return state, history
