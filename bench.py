@@ -1,0 +1,169 @@
+"""Headline benchmark: EEG windows/sec/chip for filter + LSTM fwd/bwd.
+
+The BASELINE.json north-star metric. Pipeline per step (the
+LstmDistillFromDinoV2Train hot loop, SURVEY.md §3.1, with the ingest filter
+fused in): zero-phase band-pass (FFT fast path) over raw (B, C, 512) Perils
+windows → [20, 480) crop → LSTM(96, 96, 2)+fc+head forward/backward →
+RMSprop update. Reported as windows/sec on the current default JAX device.
+
+`vs_baseline`: ratio against the reference implementation measured on the
+hardware available to it here — a torch CPU run of the same step (the
+reference publishes no numbers, BASELINE.md; torch-CPU is its only runnable
+config in this environment). The torch measurement is cached in
+`.bench_baseline.json` after the first run.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+B = 256  # TPU batch (the reference uses 16 on CPU/GPU; we keep its per-chip
+         # throughput metric but feed the MXU a full batch)
+T_RAW, T_LO, T_HI, C, F, N_CLASSES = 512, 20, 480, 96, 384, 40
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from cerebra.models import Model
+    from cerebra.signal.filters import design_bandpass, zero_phase_response
+    from cerebra.losses import feature_distribution_loss_v1
+    from cerebra.train.optim import make_optimizer
+    from cerebra.train.steps import TrainState
+
+    log(f"jax devices: {jax.devices()}")
+    spec = design_bandpass(14.0, 71.0, fs=1000.0, order=4)
+    h2 = jnp.asarray(np.asarray(zero_phase_response(spec, T_RAW + 2 * (T_RAW // 2))))
+
+    model = Model(
+        input_size=C, lstm_size=C, lstm_layers=2, output_size=F, include_top=True,
+        n_classes=N_CLASSES, dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.normal(size=(B, C, T_RAW)).astype(np.float32))
+    teacher = jnp.asarray(rng.normal(size=(B, F)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, N_CLASSES, size=B).astype(np.int32))
+    params = model.init(jax.random.key(0), jnp.zeros((1, T_HI - T_LO, C)))["params"]
+    tx = make_optimizer("rmsprop", 1e-3)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    from cerebra.signal.filters import filtfilt_fft
+
+    def step(state, raw, teacher, labels):
+        filtered = filtfilt_fft(spec, raw, h2=h2)  # (B, C, T)
+        eeg = jnp.swapaxes(filtered, 1, 2)[:, T_LO:T_HI, :]  # (B, 460, 96)
+
+        def loss_fn(p):
+            feats, cls = model.apply({"params": p}, eeg)
+            return feature_distribution_loss_v1(
+                feats.astype(jnp.float32), teacher, labels, cls.astype(jnp.float32),
+                temperature=0.5,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    step = jax.jit(step, donate_argnums=(0,))
+    # warmup/compile
+    for _ in range(3):
+        state, loss = step(state, raw, teacher, labels)
+    jax.block_until_ready(loss)
+    n_steps = 30
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = step(state, raw, teacher, labels)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    wps = n_steps * B / dt
+    log(f"jax: {n_steps} steps x {B} windows in {dt:.3f}s -> {wps:.1f} windows/s, loss={float(loss):.4f}")
+    return wps
+
+
+def measure_torch_baseline() -> float:
+    """Reference-style torch implementation of the same step (CPU)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        log(f"torch baseline (cached): {cached['windows_per_s']:.1f} windows/s")
+        return float(cached["windows_per_s"])
+
+    import torch
+    from scipy import signal as sps
+
+    torch.manual_seed(0)
+    bt = 16  # the reference's batch size (LstmDistillFromDinoV2Train.py:163)
+    sos = sps.butter(4, [14.0 / 500.0, 71.0 / 500.0], btype="bandpass", output="sos")
+
+    class RefModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = torch.nn.LSTM(C, C, num_layers=2, batch_first=True)
+            self.fc = torch.nn.Linear(C, F)
+            self.head = torch.nn.Linear(F, N_CLASSES)
+
+        def forward(self, x):
+            out, _ = self.lstm(x)
+            feats = torch.relu(self.fc(out[:, -1]))
+            return feats, self.head(feats)
+
+    model = RefModel()
+    opt = torch.optim.RMSprop(model.parameters(), lr=1e-3)
+    rng = np.random.default_rng(0)
+    raw = rng.normal(size=(bt, C, T_RAW)).astype(np.float32)
+    teacher = torch.from_numpy(rng.normal(size=(bt, F)).astype(np.float32))
+    labels = torch.from_numpy(rng.integers(0, N_CLASSES, size=bt).astype(np.int64))
+
+    def step():
+        filtered = sps.sosfiltfilt(sos, raw, axis=-1).astype(np.float32)
+        eeg = torch.from_numpy(np.swapaxes(filtered, 1, 2)[:, T_LO:T_HI, :].copy())
+        opt.zero_grad()
+        feats, cls = model(eeg)
+        t_soft = torch.nn.functional.softmax(teacher / 0.5, dim=-1)
+        s_soft = torch.nn.functional.softmax(feats / 0.5, dim=-1)
+        loss = 0.5 * torch.nn.functional.cross_entropy(cls, labels) + 0.5 * (
+            torch.nn.functional.cross_entropy(t_soft, s_soft)
+        )
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    dt = time.perf_counter() - t0
+    wps = n_steps * bt / dt
+    log(f"torch baseline: {n_steps} steps x {bt} windows in {dt:.3f}s -> {wps:.1f} windows/s")
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"windows_per_s": wps, "batch": bt, "impl": "torch-cpu reference step"}, f)
+    return wps
+
+
+def main():
+    baseline_wps = measure_torch_baseline()
+    jax_wps = measure_jax()
+    print(
+        json.dumps(
+            {
+                "metric": "eeg_windows_per_sec_per_chip_filter_lstm_fwd_bwd",
+                "value": round(jax_wps, 1),
+                "unit": "windows/s",
+                "vs_baseline": round(jax_wps / baseline_wps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
