@@ -1,0 +1,74 @@
+"""Greedy channel discovery (reference TestRetrieval_Perils_DiscoverChannels
+.py / TestRetrieval_DiscoverChannels.py; call stack SURVEY.md §3.5).
+
+The reference's constants-at-top script becomes a CLI; the ~C²/2 faiss
+rebuilds become one per-channel distance einsum + C batched top-k calls
+(cerebra.eval.channel_discovery). Split: seed-123 80/20 random_split
+(TestRetrieval_Perils_DiscoverChannels.py:62-63); channel-wise-normalized
+EEG like the reference's apply_channel_wise_norm loader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from cerebra.cli.common import load_corpus, reference_argparser
+from cerebra.data import random_split_indices
+from cerebra.data.channelmap import read_channel_list, read_channel_map
+from cerebra.eval import greedy_channel_discovery
+from cerebra.signal.norm import channel_wise_norm
+
+
+def main(argv=None):
+    parser = reference_argparser("Greedy channel discovery (TPU)")
+    parser.add_argument("--max_channels", type=int, default=0, help="0 = all")
+    parser.add_argument("--channel_map", type=str, default="", help="optional channelmap file")
+    FLAGS, _ = parser.parse_known_args(argv)
+    print(FLAGS)
+    os.makedirs(FLAGS.log_dir, exist_ok=True)
+
+    corpus = load_corpus(FLAGS)
+    eeg = np.asarray(channel_wise_norm(jnp.asarray(corpus.eeg)))
+
+    train_idx, test_idx = random_split_indices(corpus.n, [0.8, 0.2], seed=123)
+    t0 = time.perf_counter()
+    result = greedy_channel_discovery(
+        eeg[train_idx], eeg[test_idx],
+        corpus.labels[train_idx], corpus.labels[test_idx],
+        top_k=FLAGS.topK,
+        n_classes=corpus.catalog.n_classes,
+        max_channels=FLAGS.max_channels or None,
+    )
+    dt = time.perf_counter() - t0
+
+    names = None
+    if FLAGS.channel_map:
+        if FLAGS.channel_map.endswith("perils_channel_map.txt"):
+            names = read_channel_list(FLAGS.channel_map)
+        else:
+            cm = read_channel_map(FLAGS.channel_map)
+            names = [cm.get(i + 1, str(i)) for i in range(corpus.n_channels)]
+
+    print(f"greedy sweep over {corpus.n_channels} channels in {dt:.2f}s")
+    for rank, (ch, rec) in enumerate(zip(result.selected, result.recalls)):
+        label = names[ch] if names else f"ch{ch}"
+        print(f"  +{label} (idx {ch}) → recall {rec:.2f}")
+
+    out = {
+        "selected_channels": result.selected,
+        "recalls": result.recalls,
+        "channel_names": [names[c] for c in result.selected] if names else None,
+        "elapsed_s": dt,
+    }
+    with open(os.path.join(FLAGS.log_dir, "channel_discovery.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Flag/config helpers.
+
+Replaces the reference's config surface (SURVEY.md §5): `bool_flag`
+(utils/utils.py:201-212), seeding (utils/utils.py:215-221), and — crucially —
+the stringly-typed `--hyperprams` dict that the reference passes through
+`eval()` (LstmDistillFromDinoV2Train.py:247-255 and 5 clones). Here it is
+parsed safely: JSON first, then a restricted Python-literal fallback
+(ast.literal_eval) so the reference's single-quoted CLI strings keep working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+from typing import Dict
+
+
+def bool_flag(s: str) -> bool:
+    falsy = {"off", "false", "0"}
+    truthy = {"on", "true", "1"}
+    if s.lower() in falsy:
+        return False
+    if s.lower() in truthy:
+        return True
+    raise argparse.ArgumentTypeError("invalid value for a boolean flag")
+
+
+def parse_hyperparams(s: str) -> Dict:
+    """Parse `--hyperprams "{'alpha': 1, ...}"` without eval()."""
+    if not s:
+        return {}
+    try:
+        return json.loads(s)
+    except json.JSONDecodeError:
+        out = ast.literal_eval(s)
+        if not isinstance(out, dict):
+            raise argparse.ArgumentTypeError("hyperparams must be a dict")
+        return out
+
+
+def fix_random_seeds(seed: int = 31) -> None:
+    """Seed numpy (+torch if present) like utils/utils.py:215-221; JAX code
+    threads explicit PRNG keys instead of global state."""
+    import numpy as np
+
+    np.random.seed(seed)
+    try:
+        import torch
+
+        torch.manual_seed(seed)
+    except ImportError:
+        pass

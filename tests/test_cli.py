@@ -1,0 +1,77 @@
+"""Integration tests: every CLI runs end-to-end on the synthetic backend
+(SURVEY.md §4: 'integration tests that run each CLI on the synthetic-EEG
+fake backend')."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli")
+
+
+def test_train_then_eval_roundtrip(workdir):
+    from cerebra.cli.lstm_distill_from_dinov2_train import main as train_main
+    from cerebra.cli.lstm_distill_from_dinov2_eval import main as eval_main
+
+    log1 = str(workdir / "train")
+    state, hist = train_main(
+        ["--synthetic", "--num_epochs", "6", "--log_dir", log1,
+         "--synthetic_classes", "4", "--synthetic_per_class", "8"]
+    )
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    ckpt = os.path.join(log1, "lstm_dinov2_best_loss.pth")
+    assert os.path.exists(ckpt)
+    assert os.path.exists(os.path.join(log1, "log.txt"))
+
+    log2 = str(workdir / "eval")
+    recall, precision = eval_main(
+        ["--synthetic", "--custom_model_weights", ckpt, "--log_dir", log2,
+         "--synthetic_classes", "4", "--synthetic_per_class", "8"]
+    )
+    assert recall > 25.0  # learned features beat chance
+    for suffix in ("synthetic_Scores.pth", "synthetic_Scores.txt", "synthetic_.csv"):
+        assert os.path.exists(os.path.join(log2, suffix))
+    with open(os.path.join(log2, "synthetic_Scores.txt")) as f:
+        scores = json.load(f)
+    assert len(scores["data"]) == 4  # one entry per class
+
+
+def test_dino_distillation_and_teacher_eval(workdir):
+    from cerebra.cli.lstm_distillation import main as dino_main
+    from cerebra.cli.lstm_distill_from_dinov2_eval import main as eval_main
+
+    log = str(workdir / "dino")
+    state, hist = dino_main(
+        ["--synthetic", "--epochs", "2", "--batch_size_per_gpu", "8",
+         "--out_dim", "64", "--log_dir", log, "--saveckp_freq", "0",
+         "--synthetic_classes", "4", "--synthetic_per_class", "8"]
+    )
+    assert np.isfinite(hist["loss"]).all()
+    ckpt = os.path.join(log, "checkpoint.pth")
+    assert os.path.exists(ckpt)
+    # the reference eval path: load the DINO teacher backbone and retrieve
+    recall, precision = eval_main(
+        ["--synthetic", "--custom_model_weights", ckpt,
+         "--log_dir", str(workdir / "dino_eval"),
+         "--synthetic_classes", "4", "--synthetic_per_class", "8"]
+    )
+    assert np.isfinite(recall) and np.isfinite(precision)
+
+
+def test_discover_channels_cli(workdir):
+    from cerebra.cli.discover_channels import main
+
+    log = str(workdir / "chan")
+    result = main(
+        ["--synthetic", "--synthetic_classes", "4", "--synthetic_per_class", "6",
+         "--max_channels", "3", "--log_dir", log]
+    )
+    assert len(result.selected) >= 1
+    with open(os.path.join(log, "channel_discovery.json")) as f:
+        out = json.load(f)
+    assert out["selected_channels"] == result.selected
