@@ -1,0 +1,208 @@
+"""DINO Vision Transformer (dino/vision_transformer.py:134-254).
+
+timm-style ViT with the DINO extras:
+- `get_last_selfattention` (:216-223): attention maps of the final block;
+- `get_intermediate_layers` (:225-233): normalized outputs of the last n
+  blocks;
+- positional-embedding interpolation for off-grid input sizes (:174-194),
+  done with jax.image.resize (bicubic) over the (grid, grid, D) pos table;
+- stochastic depth (drop_path) per block;
+- vit_tiny/small/base constructors (:236-254) — embed 192/384/768.
+
+Used by the EEG-as-image DINO recipe (dino/main_dino.py) and the DinoModel
+inference wrapper; `import_dino_vit_torch` loads reference checkpoints with
+the usual prefix stripping.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _trunc_normal(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int = 6
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (out, attn) like the reference Attention (:68-92)."""
+        B, N, D = x.shape
+        H = self.num_heads
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, D // H)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B, H, N, d)
+        scale = (D // H) ** -0.5
+        attn = jax.nn.softmax((q * scale) @ jnp.swapaxes(k, -2, -1), axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
+        out = nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out, attn
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = True, return_attention: bool = False
+    ):
+        y, attn = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x), train=train
+        )
+        if return_attention:
+            return attn
+        x = x + self._drop_path(y, train)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + self._drop_path(h, train)
+
+    def _drop_path(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.drop_path == 0.0 or not train:
+            return x
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return x * mask / keep
+
+
+class VisionTransformer(nn.Module):
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, H, W, 3) NHWC
+        train: bool = False,
+        return_all_tokens: bool = False,
+        return_attention_of_last_block: bool = False,
+        n_intermediate: int = 0,
+    ):
+        B, H, W, _ = x.shape
+        patches = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), dtype=self.dtype, name="patch_embed",
+        )(x)
+        gh, gw = patches.shape[1], patches.shape[2]
+        tokens = patches.reshape(B, gh * gw, self.embed_dim)
+
+        cls_token = self.param("cls_token", _trunc_normal(0.02), (1, 1, self.embed_dim))
+        n_patches_train = (self.img_size // self.patch_size) ** 2
+        pos_embed = self.param(
+            "pos_embed", _trunc_normal(0.02), (1, n_patches_train + 1, self.embed_dim)
+        )
+        pos = _interpolate_pos_embed(pos_embed, gh, gw)
+        tokens = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)), tokens], 1)
+        tokens = tokens + pos
+
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        final_norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        intermediates: List[jax.Array] = []
+        for i in range(self.depth):
+            block = Block(
+                self.embed_dim, self.num_heads, self.mlp_ratio, float(dpr[i]),
+                dtype=self.dtype, name=f"block_{i}",
+            )
+            if return_attention_of_last_block and i == self.depth - 1:
+                return block(tokens, train=train, return_attention=True)
+            tokens = block(tokens, train=train)
+            if n_intermediate and i >= self.depth - n_intermediate and i < self.depth - 1:
+                intermediates.append(tokens)
+        tokens = final_norm(tokens)
+        if n_intermediate:
+            return intermediates + [tokens]
+        if return_all_tokens:
+            return tokens
+        return tokens[:, 0]  # CLS feature (the reference forward, :211-214)
+
+
+def _interpolate_pos_embed(pos_embed: jax.Array, gh: int, gw: int) -> jax.Array:
+    """Bicubic pos-embed interpolation (dino/vision_transformer.py:174-194)."""
+    n = pos_embed.shape[1] - 1
+    if gh * gw == n:
+        return pos_embed
+    cls_pos, patch_pos = pos_embed[:, :1], pos_embed[:, 1:]
+    g0 = int(math.sqrt(n))
+    patch_pos = patch_pos.reshape(1, g0, g0, -1)
+    patch_pos = jax.image.resize(patch_pos, (1, gh, gw, patch_pos.shape[-1]), "bicubic")
+    return jnp.concatenate([cls_pos, patch_pos.reshape(1, gh * gw, -1)], axis=1)
+
+
+def vit_tiny(patch_size: int = 16, **kw) -> VisionTransformer:
+    return VisionTransformer(patch_size=patch_size, embed_dim=192, depth=12, num_heads=3, **kw)
+
+
+def vit_small(patch_size: int = 16, **kw) -> VisionTransformer:
+    return VisionTransformer(patch_size=patch_size, embed_dim=384, depth=12, num_heads=6, **kw)
+
+
+def vit_base(patch_size: int = 16, **kw) -> VisionTransformer:
+    return VisionTransformer(patch_size=patch_size, embed_dim=768, depth=12, num_heads=12, **kw)
+
+
+def import_dino_vit_torch(state_dict, depth: int = 12) -> dict:
+    """torch DINO ViT state dict → flax params for VisionTransformer.
+
+    Accepts the reference checkpoint layouts with `module./backbone./teacher.`
+    prefixes (utils/DinoModel.py:60-78 prefix-stripping)."""
+    sd = {}
+    for k, v in state_dict.items():
+        for pref in ("module.", "backbone."):
+            if k.startswith(pref):
+                k = k[len(pref) :]
+        sd[k] = np.asarray(v, dtype=np.float32)
+
+    p: dict = {}
+    p["cls_token"] = sd["cls_token"]
+    p["pos_embed"] = sd["pos_embed"]
+    w = sd["patch_embed.proj.weight"]  # (D, 3, P, P) → HWIO
+    p["patch_embed"] = {
+        "kernel": np.transpose(w, (2, 3, 1, 0)),
+        "bias": sd["patch_embed.proj.bias"],
+    }
+    for i in range(depth):
+        b = f"blocks.{i}."
+        p[f"block_{i}"] = {
+            "norm1": {"scale": sd[b + "norm1.weight"], "bias": sd[b + "norm1.bias"]},
+            "norm2": {"scale": sd[b + "norm2.weight"], "bias": sd[b + "norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": sd[b + "attn.qkv.weight"].T, "bias": sd[b + "attn.qkv.bias"]},
+                "proj": {"kernel": sd[b + "attn.proj.weight"].T, "bias": sd[b + "attn.proj.bias"]},
+            },
+            "mlp_fc1": {"kernel": sd[b + "mlp.fc1.weight"].T, "bias": sd[b + "mlp.fc1.bias"]},
+            "mlp_fc2": {"kernel": sd[b + "mlp.fc2.weight"].T, "bias": sd[b + "mlp.fc2.bias"]},
+        }
+    p["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
+    return {"params": p}
