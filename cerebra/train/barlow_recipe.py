@@ -1,0 +1,127 @@
+"""Cross-modal Barlow Twins training (EEG-BarlowNetworks/train.py:50-190).
+
+Per step (call stack SURVEY.md §3.4): y1 = augmented image, y2 = mel-
+spectrogram stack of the EEG — the reference computes librosa mels on the
+host per batch (train.py:144-145, the pipeline bottleneck); here the WHOLE
+corpus is spectrogrammed once on device (cerebra.signal.spectro) and steps
+just index it. LARS with separate weight/bias learning rates
+(learning_rate_weights=0.2 / learning_rate_biases=0.0048, optim.py:5-44
+bias/norm-filtered variant) under the warmup+cosine schedule
+(barlow_utils.py:8-21). BatchNorm statistics are carried explicitly
+(batch_stats collection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cerebra.data.sampling import epoch_batches
+from cerebra.losses import barlow_twins_loss
+from cerebra.models.barlow import BarlowTwins
+from cerebra.train.schedules import barlow_learning_rate
+
+
+@dataclasses.dataclass
+class BarlowConfig:
+    """Defaults from EEG-BarlowNetworks/train.py:32-43."""
+
+    epochs: int = 10
+    batch_size: int = 16
+    learning_rate_weights: float = 0.2
+    learning_rate_biases: float = 0.0048
+    weight_decay: float = 1e-6
+    lambd: float = 0.0051
+    projector: Tuple[int, ...] = (8192, 8192, 8192)
+    n_mels: int = 224
+    image_size: int = 224
+    warmup_epochs: int = 10
+    seed: int = 0
+    dtype: Any = None
+
+
+def barlow_train(
+    images: np.ndarray,  # (N, H, W, 3) NHWC
+    eeg: np.ndarray,  # (N, T, C) — spectrogrammed here
+    config: BarlowConfig = BarlowConfig(),
+    sample_rate: float = 256.0,
+    log_fn: Callable[[str], None] = print,
+) -> Tuple[dict, Dict[str, List]]:
+    """Returns ({'params', 'batch_stats'}, history)."""
+    cfg = config
+    n = len(images)
+    niter = max(n // cfg.batch_size, 1)
+
+    # 1) one-shot device spectrogram of the whole EEG corpus
+    from cerebra.signal.spectro import melspectrogram
+
+    eeg_ct = jnp.swapaxes(jnp.asarray(eeg, dtype=jnp.float32), 1, 2)  # (N, C, T)
+    mels = melspectrogram(eeg_ct, sr=sample_rate, n_mels=cfg.n_mels)  # (N, C, M, F)
+    y2_all = jnp.transpose(mels, (0, 2, 3, 1))  # NHWC with C spectro channels
+    y1_all = jnp.asarray(images, dtype=jnp.float32)
+
+    model = BarlowTwins(projector_sizes=cfg.projector, eeg_in_channels=eeg.shape[-1],
+                        dtype=cfg.dtype)
+    variables = model.init(
+        jax.random.key(cfg.seed), y1_all[:1], y2_all[:1], train=False
+    )
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    # 2) LARS with per-group lr (weights vs biases/1-d), warmup+cosine base
+    base = barlow_learning_rate(cfg.epochs, niter, cfg.batch_size, cfg.warmup_epochs)
+    lr_w = jnp.asarray(base * cfg.learning_rate_weights, dtype=jnp.float32)
+    lr_b = jnp.asarray(base * cfg.learning_rate_biases, dtype=jnp.float32)
+
+    def sched(arr):
+        return lambda step: arr[jnp.minimum(step, arr.shape[0] - 1)]
+
+    labels = jax.tree.map(lambda p: "w" if jnp.ndim(p) > 1 else "b", params)
+    tx = optax.multi_transform(
+        {
+            "w": optax.lars(sched(lr_w), weight_decay=cfg.weight_decay,
+                            trust_coefficient=0.001),
+            "b": optax.lars(sched(lr_b), weight_decay=0.0, trust_coefficient=0.001,
+                            trust_ratio_mask=False),
+        },
+        labels,
+    )
+    opt_state = tx.init(params)
+
+    def step(params, batch_stats, opt_state, y1, y2):
+        def loss_fn(p):
+            (z1, z2), updates = model.apply(
+                {"params": p, "batch_stats": batch_stats}, y1, y2, train=True,
+                mutable=["batch_stats"],
+            )
+            loss = barlow_twins_loss(z1, z2, lambd=cfg.lambd,
+                                     global_batch_size=y1.shape[0])
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    history: Dict[str, List] = {"loss": [], "epoch_time_s": []}
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        batches, _ = epoch_batches(n, cfg.batch_size, seed=cfg.seed, epoch=epoch)
+        batches = batches[:niter]
+        losses = []
+        for idx in batches:
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, y1_all[idx], y2_all[idx]
+            )
+            losses.append(loss)
+        loss = float(np.mean([float(l) for l in losses]))
+        history["loss"].append(loss)
+        history["epoch_time_s"].append(time.perf_counter() - t0)
+        log_fn(f"EPOCH {epoch} barlow_loss: {loss:.4f}")
+    return {"params": params, "batch_stats": batch_stats}, history

@@ -43,7 +43,15 @@ from cerebra.train.steps import (
 @dataclasses.dataclass
 class FeatureDistillConfig:
     """Defaults = LstmDistillFromDinoV2Train.py flags/HyperParams
-    (:16-25, :329: RMSprop lr 1e-3, batch 16, warmup T 1.5→0.22 over 50)."""
+    (:16-25, :329: RMSprop lr 1e-3, batch 16, warmup T 1.5→0.22 over 50).
+
+    `loss` selects the recipe variant:
+      feature_dist_v1 — LstmDistillFromDinoV2Train (CE + softened CE)
+      hinton_kd       — LstmDistillFromDinoV2TrainSpampinato (KLDiv·αT² + CE)
+      cosine          — LSTMDistill (1 − mean cos)
+      feature_dist_v2 — mean/std matching MSE (LstmDistillation variant)
+      feature_dist_v3 — soft-target KL·T² (Eval variant)
+    """
 
     num_epochs: int = 100
     batch_size: int = 16
@@ -51,8 +59,10 @@ class FeatureDistillConfig:
     optimizer: str = "rmsprop"
     lstm_size: int = 96
     lstm_layers: int = 2
+    loss: str = "feature_dist_v1"
     alpha: float = 0.5
     beta: float = 0.5
+    kd_temperature: float = 2.0
     warmup_teacher_temp: float = 1.5
     teacher_temp: float = 0.22
     warmup_teacher_temp_epochs: int = 50
@@ -103,11 +113,30 @@ def feature_distill_train(
         dtype=jnp.float32,
     )
 
+    from cerebra.losses import (
+        cosine_similarity_loss,
+        feature_distribution_loss_v2,
+        feature_distribution_loss_v3,
+        hinton_kd_loss,
+    )
+
     def loss_fn(feats, cls_pred, teacher_feats, labels, epoch):
-        return feature_distribution_loss_v1(
-            feats, teacher_feats, labels, cls_pred, temperature=temps[epoch],
-            alpha=cfg.alpha, beta=cfg.beta,
-        )
+        if cfg.loss == "feature_dist_v1":
+            return feature_distribution_loss_v1(
+                feats, teacher_feats, labels, cls_pred, temperature=temps[epoch],
+                alpha=cfg.alpha, beta=cfg.beta,
+            )
+        if cfg.loss == "hinton_kd":
+            # Spampinato recipe (LstmDistillFromDinoV2TrainSpampinato.py:424):
+            # KD over the regressed FEATURES as logits
+            return hinton_kd_loss(feats, labels, teacher_feats, cfg.kd_temperature, cfg.alpha)
+        if cfg.loss == "cosine":
+            return cosine_similarity_loss(feats, teacher_feats)
+        if cfg.loss == "feature_dist_v2":
+            return feature_distribution_loss_v2(feats, teacher_feats)
+        if cfg.loss == "feature_dist_v3":
+            return feature_distribution_loss_v3(feats, teacher_feats, temps[epoch])
+        raise ValueError(f"unknown loss: {cfg.loss}")
 
     step = make_feature_distill_step(model.apply, tx, loss_fn)
 
@@ -158,10 +187,7 @@ def feature_distill_train(
 
             vfeats, vcls = model.apply({"params": state.params}, jnp.asarray(val_eeg))
             val_loss = float(
-                feature_distribution_loss_v1(
-                    vfeats, jnp.asarray(val_feats), jnp.asarray(val_labels), vcls,
-                    temperature=temps[epoch], alpha=cfg.alpha, beta=cfg.beta,
-                )
+                loss_fn(vfeats, vcls, jnp.asarray(val_feats), jnp.asarray(val_labels), epoch)
             )
             history["val_loss"].append((epoch, val_loss))
             if best_val is None or val_loss < best_val:
