@@ -23,13 +23,14 @@ def multicrop_forward(
     """Run `backbone` once per same-length view group and `head` once on the
     concatenated features.
 
-    view_groups: sequence of (n_views_g, B, L_g, C) arrays (L_g may differ
-    between groups). Returns (total_views · B, out_dim), views ordered
-    group-by-group then view-by-view — matching the reference's cat order.
+    view_groups: sequence of (n_views_g, B, ...) arrays (trailing view shape
+    may differ between groups — temporal crops, image crops, ...). Returns
+    (total_views · B, out_dim), views ordered group-by-group then
+    view-by-view — matching the reference's cat order.
     """
     feats = []
     for group in view_groups:
-        n_views, B, L, C = group.shape
-        flat = group.reshape(n_views * B, L, C)
+        n_views, B = group.shape[:2]
+        flat = group.reshape((n_views * B,) + group.shape[2:])
         feats.append(backbone(flat))
     return head(jnp.concatenate(feats, axis=0))

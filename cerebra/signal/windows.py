@@ -66,11 +66,26 @@ def multicrop_views(
 
 
 def resize_eeg_to_image(eeg: jax.Array, size: int = 224) -> jax.Array:
-    """EEG (T, C) → (3, size, size) image-shaped tensor.
-
-    TPU-native equivalent of resizeEEGToImageSize (utils/EEGDataset.py:248-303)
-    used by the EEG-as-image DINO recipe (dino/main_dino.py:523-550): bilinear
-    resize of the (T, C) plane to (size, size), replicated over 3 channels.
-    """
+    """EEG (T, C) → (3, size, size): bilinear resize of the (T, C) plane,
+    replicated over 3 channels — the smooth alternative to the reference's
+    tiling (see `tile_eeg_to_image` for exact semantics)."""
     img = jax.image.resize(eeg, (size, size), method="bilinear")
     return jnp.broadcast_to(img[None, :, :], (3, size, size))
+
+
+def tile_eeg_to_image(key: jax.Array, eeg: jax.Array, size: int = 224) -> jax.Array:
+    """Exact resizeEEGToImageSize semantics (utils/EEGDataset.py:248-303):
+    tile-repeat rows (channels) and columns (time) up to ≥size, slice rows to
+    size, take a RANDOM size-wide time window, replicate ×3 channels.
+
+    eeg: (C, T) channel-first like the reference's input → (3, size, size).
+    Used by the EEG-as-image DINO recipe (dino/main_dino.py:523-531).
+    """
+    C, T = eeg.shape
+    reps_r = size // C + 1
+    reps_c = size // T + 1
+    tiled = jnp.tile(eeg, (reps_r, reps_c))[:size, :]
+    width = tiled.shape[1]
+    start = jax.random.randint(key, (), 0, max(width - size, 1))
+    window = jax.lax.dynamic_slice_in_dim(tiled, start, size, axis=1)
+    return jnp.broadcast_to(window[None], (3, size, size))

@@ -1,0 +1,191 @@
+"""DINO v1 training with EEG-as-image global crops (dino/main_dino.py).
+
+The reference's DataAugmentationDINO (:484-550) replaces BOTH global crops
+with EEG rendered as a 224×224×3 image (tile-repeat + random time window,
+utils/EEGDataset.py:248-303) while local crops are augmented stimulus-image
+crops; student/teacher are DINO ViTs with the standard recipe (EMA teacher,
+centering, temp warmup, cosine schedules, AdamW, fp16→bf16).
+
+All view construction happens on device inside the jitted step
+(cerebra.signal.windows.tile_eeg_to_image + cerebra.signal.image_aug).
+When no stimulus images are available, local crops fall back to EEG-image
+crops — a variant the reference itself ships commented-in
+(dino/main_dino.py:535-549).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cerebra.data.sampling import epoch_batches
+from cerebra.losses import teacher_temp_schedule
+from cerebra.models.heads import DINOHead
+from cerebra.models.vit import VisionTransformer, vit_base, vit_small, vit_tiny
+from cerebra.signal.image_aug import dino_local_crop, normalize
+from cerebra.signal.windows import tile_eeg_to_image
+from cerebra.train.schedules import cosine_scheduler
+from cerebra.train.steps import DinoTrainState, make_dino_step, make_scheduled_optimizer
+
+
+@dataclasses.dataclass
+class DinoVitConfig:
+    """Defaults from dino/main_dino.py:50-129."""
+
+    arch: str = "vit_small"
+    patch_size: int = 8
+    out_dim: int = 65536
+    epochs: int = 100
+    batch_size_per_device: int = 8
+    lr: float = 0.0005
+    min_lr: float = 1e-6
+    warmup_epochs: int = 10
+    weight_decay: float = 0.04
+    weight_decay_end: float = 0.4
+    momentum_teacher: float = 0.996
+    teacher_temp: float = 0.04
+    warmup_teacher_temp: float = 0.04
+    warmup_teacher_temp_epochs: int = 0
+    clip_grad: float = 3.0
+    freeze_last_layer: int = 1
+    local_crops_number: int = 4
+    global_size: int = 224
+    local_size: int = 96
+    norm_last_layer: bool = True
+    use_bn_in_head: bool = False
+    seed: int = 0
+    dtype: Any = None
+
+
+def build_vit(cfg: DinoVitConfig) -> VisionTransformer:
+    ctor = {"vit_tiny": vit_tiny, "vit_small": vit_small, "vit_base": vit_base}[cfg.arch]
+    return ctor(patch_size=cfg.patch_size, img_size=cfg.global_size, dtype=cfg.dtype)
+
+
+def make_eeg_image_view_fn(
+    n_global: int, n_local: int, global_size: int, local_size: int, has_images: bool
+):
+    """(key, (eeg (B,T,C), images (B,H,W,3)|None)) → [globals, locals].
+
+    Globals: tiled EEG images with independent random time windows
+    (dino/main_dino.py:526-531); normalized like the image pipeline.
+    Locals: augmented stimulus-image crops, or EEG-image crops without
+    stimulus images.
+    """
+
+    def one_eeg_image(key, eeg_tc):
+        img = tile_eeg_to_image(key, eeg_tc.T, size=global_size)  # (3, S, S)
+        return jnp.transpose(img, (1, 2, 0))  # NHWC
+
+    def view_fn(key, batch):
+        eeg, images = batch
+        B = eeg.shape[0]
+        kg, kl = jax.random.split(key)
+        g_keys = jax.random.split(kg, n_global * B).reshape(n_global, B)
+        globals_ = jax.vmap(jax.vmap(one_eeg_image))(
+            g_keys, jnp.broadcast_to(eeg, (n_global,) + eeg.shape)
+        )
+        l_keys = jax.random.split(kl, n_local * B).reshape(n_local, B)
+        if has_images:
+            locals_ = jax.vmap(jax.vmap(dino_local_crop, in_axes=(0, 0, None)),
+                               in_axes=(0, None, None))(l_keys, images, local_size)
+        else:
+            def local_eeg(key, eeg_tc):
+                img = tile_eeg_to_image(key, eeg_tc.T, size=local_size)
+                return jnp.transpose(img, (1, 2, 0))
+
+            locals_ = jax.vmap(jax.vmap(local_eeg))(
+                l_keys, jnp.broadcast_to(eeg, (n_local,) + eeg.shape)
+            )
+        return [globals_, locals_]
+
+    return view_fn
+
+
+def dino_vit_train(
+    eeg: np.ndarray,  # (N, T, C)
+    images: Optional[np.ndarray] = None,  # (N, H, W, 3) in [0,1]
+    config: DinoVitConfig = DinoVitConfig(),
+    log_fn: Callable[[str], None] = print,
+    checkpoint_cb: Optional[Callable[[int, DinoTrainState], None]] = None,
+) -> Tuple[DinoTrainState, Dict[str, List]]:
+    cfg = config
+    n = len(eeg)
+    global_batch = cfg.batch_size_per_device
+    niter_per_ep = max(n // global_batch, 1)
+
+    backbone = build_vit(cfg)
+    embed_dim = backbone.embed_dim
+    head = DINOHead(
+        in_dim=embed_dim, out_dim=cfg.out_dim, use_bn=cfg.use_bn_in_head,
+        norm_last_layer=cfg.norm_last_layer, dtype=cfg.dtype,
+    )
+    key = jax.random.key(cfg.seed)
+    k1, k2, key = jax.random.split(key, 3)
+    dummy = jnp.zeros((1, cfg.global_size, cfg.global_size, 3))
+    b_params = backbone.init(k1, dummy)["params"]
+    h_params = head.init(k2, jnp.zeros((1, embed_dim)))["params"]
+    student_params = {"backbone": b_params, "head": h_params}
+    teacher_params = jax.tree.map(jnp.copy, student_params)
+
+    lr_schedule = cosine_scheduler(
+        cfg.lr * global_batch / 256.0, cfg.min_lr, cfg.epochs, niter_per_ep,
+        warmup_epochs=min(cfg.warmup_epochs, cfg.epochs),
+    )
+    wd_schedule = cosine_scheduler(cfg.weight_decay, cfg.weight_decay_end, cfg.epochs, niter_per_ep)
+    momentum_schedule = cosine_scheduler(cfg.momentum_teacher, 1.0, cfg.epochs, niter_per_ep)
+    temps = teacher_temp_schedule(
+        cfg.warmup_teacher_temp, cfg.teacher_temp, cfg.warmup_teacher_temp_epochs, cfg.epochs
+    )
+    tx = make_scheduled_optimizer(
+        "adamw", lr_schedule, wd_schedule, params_mask_source=student_params,
+        clip_grad=cfg.clip_grad,
+    )
+    state = DinoTrainState(
+        step=jnp.zeros([], jnp.int32),
+        student_params=student_params,
+        teacher_params=teacher_params,
+        opt_state=tx.init(student_params),
+        center=jnp.zeros((1, cfg.out_dim), dtype=jnp.float32),
+    )
+    view_fn = make_eeg_image_view_fn(
+        2, cfg.local_crops_number, cfg.global_size, cfg.local_size, images is not None
+    )
+    step = make_dino_step(
+        backbone_apply=lambda p, x: backbone.apply(p, x),
+        head_apply=lambda p, f: head.apply(p, f),
+        tx=tx,
+        lr_schedule=jnp.asarray(lr_schedule, dtype=jnp.float32),
+        wd_schedule=jnp.asarray(wd_schedule, dtype=jnp.float32),
+        momentum_schedule=jnp.asarray(momentum_schedule, dtype=jnp.float32),
+        teacher_temp_by_epoch=jnp.asarray(temps, dtype=jnp.float32),
+        niter_per_ep=niter_per_ep,
+        view_fn=view_fn,
+        freeze_last_layer=cfg.freeze_last_layer,
+    )
+
+    eeg = np.asarray(eeg, dtype=np.float32)
+    imgs = None if images is None else jnp.asarray(images, dtype=jnp.float32)
+    history: Dict[str, List] = {"loss": [], "epoch_time_s": []}
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        batches, _ = epoch_batches(n, global_batch, seed=cfg.seed, epoch=epoch)
+        batches = batches[:niter_per_ep]
+        losses = []
+        for idx in batches:
+            key, sub = jax.random.split(key)
+            batch_imgs = None if imgs is None else imgs[idx]
+            state, metrics = step(state, (jnp.asarray(eeg[idx]), batch_imgs), sub)
+            losses.append(metrics["loss"])
+        loss = float(np.mean([float(l) for l in losses]))
+        history["loss"].append(loss)
+        history["epoch_time_s"].append(time.perf_counter() - t0)
+        log_fn(f"EPOCH {epoch} dino_vit_loss: {loss:.4f}")
+        if checkpoint_cb is not None:
+            checkpoint_cb(epoch, state)
+    return state, history

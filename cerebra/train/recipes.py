@@ -298,7 +298,7 @@ def dino_selfdistill_train(
     )
 
     step = make_dino_step(
-        backbone_apply=lambda p, x, features_only=True: backbone.apply(p, x, features_only=features_only),
+        backbone_apply=lambda p, x: backbone.apply(p, x, features_only=True),
         head_apply=lambda p, f: head.apply(p, f),
         tx=tx,
         lr_schedule=jnp.asarray(lr_schedule, dtype=jnp.float32),

@@ -68,7 +68,7 @@ class DinoTrainState(NamedTuple):
 
 
 def make_dino_step(
-    backbone_apply: Callable,  # (params, (B,L,C), features_only) -> (B,E)
+    backbone_apply: Callable,  # (params, group_batch) -> (M, E) features
     head_apply: Callable,  # (params, (M,E)) -> (M,D)
     tx: optax.GradientTransformation,
     lr_schedule: jnp.ndarray,
@@ -76,6 +76,7 @@ def make_dino_step(
     momentum_schedule: jnp.ndarray,
     teacher_temp_by_epoch: jnp.ndarray,
     niter_per_ep: int,
+    view_fn: Optional[Callable] = None,  # (key, batch) -> [group (n_v,B,...)]
     global_length: int = 300,
     local_length: int = 200,
     n_global: int = 2,
@@ -85,16 +86,26 @@ def make_dino_step(
     freeze_last_layer: int = 1,
     compat_reference_pairing: bool = False,
 ):
-    """One LstmDistillation iteration (call stack SURVEY.md §3.2), fully
-    fused: random temporal multi-crop, teacher/student forwards (one batched
-    forward per resolution group), multi-crop DINO loss, per-param clip +
-    last-layer cancel, optimizer with scheduled lr/wd, teacher EMA, center
-    EMA — a single jitted function."""
+    """One DINO iteration (call stack SURVEY.md §3.2), fully fused: view
+    construction (default: random temporal multi-crop; pluggable via
+    `view_fn`, e.g. EEG-as-image + image crops for the main_dino recipe),
+    teacher/student forwards (one batched forward per resolution group),
+    multi-crop DINO loss, per-param clip + last-layer cancel, optimizer with
+    scheduled lr/wd, teacher EMA, center EMA — a single jitted function.
+
+    The FIRST view group is global (teacher consumes it); remaining groups
+    are student-only (LstmDistillation.py:584-592).
+    """
+
+    if view_fn is None:
+        def view_fn(key, eeg):  # noqa: F811 — default temporal multicrop
+            g, l = multicrop_views(key, eeg, global_length, local_length, n_global, n_local)
+            return [g, l]
 
     def params_of(p):
         return {"params": p}
 
-    def step(state: DinoTrainState, eeg, key):
+    def step(state: DinoTrainState, batch, key):
         it = state.step
         epoch = it // niter_per_ep
         lr = lr_schedule[it]
@@ -102,23 +113,23 @@ def make_dino_step(
         m = momentum_schedule[it]
         t_temp = teacher_temp_by_epoch[epoch]
 
-        g_views, l_views = multicrop_views(
-            key, eeg, global_length, local_length, n_global, n_local
-        )
-        B = eeg.shape[0]
+        groups = view_fn(key, batch)
+        n_teacher = groups[0].shape[0]
+        n_crops = sum(int(g.shape[0]) for g in groups)
+        B = groups[0].shape[1]
 
-        # teacher: only global views (LstmDistillation.py:584-586)
-        t_backbone = lambda x: backbone_apply(params_of(state.teacher_params["backbone"]), x, True)
+        # teacher: only the global group (LstmDistillation.py:584-586)
+        t_backbone = lambda x: backbone_apply(params_of(state.teacher_params["backbone"]), x)
         t_head = lambda f: head_apply(params_of(state.teacher_params["head"]), f)
-        teacher_out = multicrop_forward(t_backbone, t_head, [g_views])
-        teacher_out = teacher_out.reshape(n_global, B, -1)
+        teacher_out = multicrop_forward(t_backbone, t_head, [groups[0]])
+        teacher_out = teacher_out.reshape(n_teacher, B, -1)
         teacher_out = jax.lax.stop_gradient(teacher_out)
 
         def compute_loss(student_params):
-            s_backbone = lambda x: backbone_apply(params_of(student_params["backbone"]), x, True)
+            s_backbone = lambda x: backbone_apply(params_of(student_params["backbone"]), x)
             s_head = lambda f: head_apply(params_of(student_params["head"]), f)
-            student_out = multicrop_forward(s_backbone, s_head, [g_views, l_views])
-            student_out = student_out.reshape(n_global + n_local, B, -1)
+            student_out = multicrop_forward(s_backbone, s_head, groups)
+            student_out = student_out.reshape(n_crops, B, -1)
             loss, new_center = dino_multicrop_loss(
                 student_out,
                 teacher_out,
