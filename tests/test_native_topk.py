@@ -1,0 +1,52 @@
+"""Parity: native C++ brute-force L2 top-k ↔ on-device JAX kernel ↔ numpy."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cerebra.eval.native_topk import available, topk_l2_native
+from cerebra.eval.retrieval import l2_topk
+
+pytestmark = pytest.mark.skipif(not available(), reason="no C++ toolchain")
+
+
+def test_native_matches_numpy(rng):
+    g = rng.normal(size=(64, 24)).astype(np.float32)
+    q = rng.normal(size=(10, 24)).astype(np.float32)
+    D, I = topk_l2_native(g, q, k=5)
+    d2 = ((q[:, None, :] - g[None]) ** 2).sum(-1)
+    want_idx = np.argsort(d2, axis=1)[:, :5]
+    want_d = np.take_along_axis(d2, want_idx, axis=1)
+    np.testing.assert_allclose(D, want_d, rtol=1e-4, atol=1e-4)
+    got_d = np.take_along_axis(d2, I, axis=1)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-4)
+
+
+def test_native_matches_device_kernel(rng):
+    g = rng.normal(size=(40, 3, 8)).astype(np.float32)  # flattened like faiss
+    q = rng.normal(size=(7, 3, 8)).astype(np.float32)
+    Dn, In = topk_l2_native(g, q, k=4)
+    Dj, Ij = l2_topk(jnp.asarray(g), jnp.asarray(q), 4)
+    np.testing.assert_allclose(Dn, np.asarray(Dj), rtol=1e-3, atol=1e-3)
+    # indices agree up to distance ties
+    d2 = ((q.reshape(7, -1)[:, None] - g.reshape(40, -1)[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.take_along_axis(d2, In, 1), np.take_along_axis(d2, np.asarray(Ij), 1),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_native_multithreaded_consistent(rng):
+    g = rng.normal(size=(128, 16)).astype(np.float32)
+    q = rng.normal(size=(33, 16)).astype(np.float32)
+    D1, I1 = topk_l2_native(g, q, k=6, n_threads=1)
+    D4, I4 = topk_l2_native(g, q, k=6, n_threads=4)
+    np.testing.assert_array_equal(I1, I4)
+    np.testing.assert_allclose(D1, D4)
+
+
+def test_k_larger_than_gallery(rng):
+    g = rng.normal(size=(3, 4)).astype(np.float32)
+    q = rng.normal(size=(2, 4)).astype(np.float32)
+    D, I = topk_l2_native(g, q, k=10)
+    assert D.shape == (2, 3)  # clamped to gallery size
