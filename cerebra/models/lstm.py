@@ -51,14 +51,18 @@ class LSTMStack(nn.Module):
     """Multi-layer LSTM over (B, T, C) → all hidden states of the top layer.
 
     Fused-gate formulation: per layer, input projections for every timestep
-    are precomputed as one (B·T, in) @ (in, 4H) matmul; the scan carries
-    (h, c) and adds the (B, H) @ (H, 4H) recurrent projection per step.
+    are precomputed as one (B·T, in) @ (in, 4H) matmul; the recurrence then
+    runs either as a `lax.scan` (CPU/reference path) or as the fused Pallas
+    TPU kernel (cerebra.models.pallas_lstm — VMEM-resident carry, ~1.7× the
+    scan's training throughput at Perils shapes). `use_pallas=None` picks the
+    Pallas kernel automatically on TPU backends.
     """
 
     hidden_size: int
     num_layers: int = 1
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -87,18 +91,26 @@ class LSTMStack(nn.Module):
             x_proj_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
 
             w_hh_c = w_hh.astype(compute_dtype)
-            h0 = jnp.zeros((B, H), dtype=compute_dtype)
-            c0 = jnp.zeros((B, H), dtype=jnp.float32)  # cell state in f32
+            use_pallas = self.use_pallas
+            if use_pallas is None:
+                use_pallas = jax.default_backend() == "tpu"
+            if use_pallas:
+                from cerebra.models.pallas_lstm import lstm_scan_pallas
 
-            def step(carry, xp, w_hh_c=w_hh_c):
-                h, c = carry
-                gates = xp + h @ w_hh_c  # (B, 4H)
-                i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, axis=-1)
-                c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-                h_new = (jax.nn.sigmoid(o) * jnp.tanh(c_new)).astype(compute_dtype)
-                return (h_new, c_new), h_new
+                h_all = lstm_scan_pallas(x_proj_t, w_hh_c)
+            else:
+                h0 = jnp.zeros((B, H), dtype=compute_dtype)
+                c0 = jnp.zeros((B, H), dtype=jnp.float32)  # cell state in f32
 
-            (_, _), h_all = jax.lax.scan(step, (h0, c0), x_proj_t)
+                def step(carry, xp, w_hh_c=w_hh_c):
+                    h, c = carry
+                    gates = xp + h @ w_hh_c  # (B, 4H)
+                    i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, axis=-1)
+                    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                    h_new = (jax.nn.sigmoid(o) * jnp.tanh(c_new)).astype(compute_dtype)
+                    return (h_new, c_new), h_new
+
+                (_, _), h_all = jax.lax.scan(step, (h0, c0), x_proj_t)
             h_seq = jnp.swapaxes(h_all, 0, 1)  # (B, T, H)
         return h_seq
 

@@ -162,16 +162,20 @@ def filtfilt(spec: FilterSpec, x: jax.Array, padlen: Optional[int] = None) -> ja
     return y[..., padlen : padlen + T]
 
 
-def zero_phase_response(spec: FilterSpec, n_fft: int, dtype=jnp.float32) -> jax.Array:
-    """|H(e^{jw})|² sampled at rfft bins — the transfer function filtfilt
-    applies (host-side, float64, done once per filter/length)."""
+def _zero_phase_response_np(spec: FilterSpec, n_fft: int) -> np.ndarray:
     w = 2.0 * np.pi * np.arange(n_fft // 2 + 1) / n_fft
     ejw = np.exp(-1j * w)
     h = np.ones_like(ejw)
     for s in range(spec.n_sections):
         b0, b1, b2, _, a1, a2 = spec.sos[s]
         h = h * (b0 + b1 * ejw + b2 * ejw**2) / (1.0 + a1 * ejw + a2 * ejw**2)
-    return jnp.asarray((h * np.conj(h)).real, dtype=dtype)
+    return (h * np.conj(h)).real
+
+
+def zero_phase_response(spec: FilterSpec, n_fft: int, dtype=jnp.float32) -> jax.Array:
+    """|H(e^{jw})|² sampled at rfft bins — the transfer function filtfilt
+    applies (host-side, float64, done once per filter/length)."""
+    return jnp.asarray(_zero_phase_response_np(spec, n_fft), dtype=dtype)
 
 
 def filtfilt_fft(
@@ -203,6 +207,75 @@ def filtfilt_fft(
     X = jnp.fft.rfft(ext, axis=-1)
     y = jnp.fft.irfft(X * h2, n=n, axis=-1).astype(x.dtype)
     return y[..., padlen : padlen + T]
+
+
+def zero_phase_fir(spec: FilterSpec, num_taps: int = 257, n_fft: int = 4096) -> np.ndarray:
+    """Truncated symmetric FIR equivalent of the zero-phase filter |H|².
+
+    irfft of the squared magnitude response is the (symmetric) impulse
+    response of filtfilt's transfer function; truncating to `num_taps`
+    around the center gives a 'same'-convolution kernel. Host-side, float64.
+    """
+    assert num_taps % 2 == 1, "zero-phase FIR needs odd tap count"
+    ir = np.fft.irfft(_zero_phase_response_np(spec, n_fft), n=n_fft)
+    half = num_taps // 2
+    taps = np.concatenate([ir[-half:], ir[: half + 1]])  # center the IR
+    return taps.astype(np.float64)
+
+
+def filtfilt_fir(spec_or_taps, x: jax.Array, num_taps: int = 257) -> jax.Array:
+    """Zero-phase filter as ONE depthwise convolution over the last axis.
+
+    TPU production path for in-step filtering: a K-tap FIR convolution is
+    MXU/VPU-bound instead of FFT-bound (TPU FFTs are slow); at K=257 it
+    matches `filtfilt_fft` in the interior to filter-truncation error.
+    Edges use zero padding ('same').
+    """
+    taps = (
+        zero_phase_fir(spec_or_taps, num_taps)
+        if isinstance(spec_or_taps, FilterSpec)
+        else np.asarray(spec_or_taps)
+    )
+    k = jnp.asarray(taps[::-1].copy(), dtype=x.dtype)  # correlate == conv(flipped)
+    batch_shape = x.shape[:-1]
+    T = x.shape[-1]
+    xr = x.reshape(-1, 1, T)  # (N, C=1, W)
+    kr = k.reshape(1, 1, -1)  # (O=1, I=1, W)
+    y = jax.lax.conv_general_dilated(
+        xr, kr, window_strides=(1,), padding="SAME",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y.reshape(*batch_shape, T)
+
+
+def zero_phase_matrix(
+    spec_or_taps, signal_length: int, num_taps: int = 257, dtype=jnp.bfloat16
+) -> jax.Array:
+    """The zero-phase FIR as a banded (T, T) matrix W[t_in, t_out] so
+    filtering is ONE MXU matmul: y = x @ W. Host-built constant; 'same'
+    zero-padded edges (matches `filtfilt_fir`). ~20× faster than the
+    depthwise-conv form on TPU at Perils shapes (1.4 ms vs 29 ms for
+    (1024, 96, 512))."""
+    taps = (
+        zero_phase_fir(spec_or_taps, num_taps)
+        if isinstance(spec_or_taps, FilterSpec)
+        else np.asarray(spec_or_taps)
+    )
+    T = signal_length
+    half = len(taps) // 2
+    W = np.zeros((T, T), dtype=np.float64)
+    for k, tap in enumerate(taps):
+        off = k - half
+        idx = np.arange(max(0, -off), min(T, T - off))
+        W[idx + off, idx] = tap
+    return jnp.asarray(W, dtype=dtype)
+
+
+def filtfilt_matmul(filter_matrix: jax.Array, x: jax.Array) -> jax.Array:
+    """Apply a `zero_phase_matrix` along the last axis (any leading lanes)."""
+    return jnp.dot(
+        x.astype(filter_matrix.dtype), filter_matrix, preferred_element_type=jnp.float32
+    )
 
 
 def bandpass_notch_pipeline(
