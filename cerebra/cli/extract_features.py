@@ -1,0 +1,73 @@
+"""extract_features — build a teacher-feature cache for a corpus.
+
+TPU-correct replacement for the reference's per-run torch.hub DINOv2
+download + in-place dataset mutation (LstmDistillFromDinoV2Train.py:144-146,
+287): run a teacher ONCE over the stimulus images, save `features.npz`, and
+point every trainer at it with --features_cache.
+
+Teachers (zero-egress environment — all local):
+  --teacher dino_ckpt   — our ViT with a local DINO .pth checkpoint
+  --teacher transformers— a local HF DINOv2 (requires pre-downloaded weights)
+  --teacher random_vit  — random-init ViT (smoke tests / ablation control)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from cerebra.cli.common import reference_argparser
+from cerebra.data.sources import extract_features, image_folder_source
+from cerebra.models.dino_model import DinoArgs, DinoModel
+
+
+def main(argv=None):
+    parser = reference_argparser("Teacher feature-cache extraction")
+    parser.add_argument("--teacher", type=str, default="random_vit",
+                        choices=["dino_ckpt", "transformers", "random_vit"])
+    parser.add_argument("--teacher_weights", type=str, default="")
+    parser.add_argument("--arch", type=str, default="vit_small")
+    parser.add_argument("--patch_size", type=int, default=8)
+    parser.add_argument("--image_size", type=int, default=224)
+    parser.add_argument("--out", type=str, default="features.npz")
+    FLAGS, _ = parser.parse_known_args(argv)
+    print(FLAGS)
+
+    source = image_folder_source(FLAGS.images_root)
+    print(f"{source.n} images over {source.catalog.n_classes} classes")
+
+    if FLAGS.teacher == "transformers":
+        import torch
+        from transformers import AutoImageProcessor, AutoModel
+
+        processor = AutoImageProcessor.from_pretrained(FLAGS.teacher_weights)
+        model = AutoModel.from_pretrained(FLAGS.teacher_weights).eval()
+
+        def model_fn(batch):
+            with torch.no_grad():
+                inputs = processor(
+                    images=[np.asarray(b) for b in np.asarray(batch)], return_tensors="pt"
+                )
+                out = model(**inputs)
+            return out.last_hidden_state[:, 0].numpy()
+
+        feats = extract_features(source, model_fn, image_size=FLAGS.image_size)
+    else:
+        args = DinoArgs(arch=FLAGS.arch, patch_size=FLAGS.patch_size,
+                        image_size=FLAGS.image_size, use_head=False)
+        if FLAGS.teacher == "dino_ckpt":
+            dino = DinoModel.from_torch_checkpoint(FLAGS.teacher_weights, args)
+        else:
+            dino = DinoModel(args, seed=FLAGS.seed)
+        feats = extract_features(
+            source, dino, preprocess=dino.dinov1_transform, image_size=FLAGS.image_size
+        )
+
+    np.savez(FLAGS.out, features=feats.astype(np.float32), labels=source.labels)
+    print(f"wrote {FLAGS.out}: features {feats.shape}")
+    return feats
+
+
+if __name__ == "__main__":
+    main()

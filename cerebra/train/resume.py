@@ -1,0 +1,99 @@
+"""Preemption-safe auto-resume and profiling hooks.
+
+Reference behavior being replaced (SURVEY.md §5):
+- Barlow: SIGUSR1 → `scontrol requeue` + unconditional auto-resume from
+  checkpoint.pth (EEG-BarlowNetworks/train.py:53-57, 104-112, 182-188);
+- DINO: restart_from_checkpoint (utils/utils.py:152-184);
+- loss-NaN abort (dino/main_dino.py:387-389).
+
+TPU-native: a `CheckpointManager`-style directory of step-numbered orbax
+checkpoints with `latest_step` discovery; `install_preemption_handler`
+flushes a checkpoint on SIGTERM/SIGUSR1 before exit. Profiling is
+`jax.profiler` traces (replacing the wall-clock-only MetricLogger timing).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import signal
+import sys
+from typing import Any, Callable, Optional
+
+from cerebra.train.checkpoints import restore_orbax, save_orbax
+
+
+class AutoResume:
+    """Step-numbered orbax checkpoints with latest-step discovery."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        self.keep = keep
+        os.makedirs(self.directory, exist_ok=True)
+
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:010d}")
+
+    def latest_step(self) -> Optional[int]:
+        steps = [
+            int(name.split("_")[1])
+            for name in os.listdir(self.directory)
+            if name.startswith("step_") and name.split("_")[1].isdigit()
+        ]
+        return max(steps) if steps else None
+
+    def save(self, step: int, tree: Any) -> None:
+        save_orbax(self._step_dir(step), tree)
+        steps = sorted(
+            int(n.split("_")[1]) for n in os.listdir(self.directory) if n.startswith("step_")
+        )
+        for old in steps[: -self.keep]:
+            import shutil
+
+            shutil.rmtree(self._step_dir(old), ignore_errors=True)
+
+    def restore_latest(self, template: Optional[Any] = None):
+        """(step, tree) of the newest checkpoint, or (None, None) — the
+        unconditional auto-resume of train.py:104-112."""
+        step = self.latest_step()
+        if step is None:
+            return None, None
+        return step, restore_orbax(self._step_dir(step), template)
+
+
+def install_preemption_handler(save_fn: Callable[[], None], signals=(signal.SIGTERM, signal.SIGUSR1)):
+    """Flush a checkpoint when the scheduler preempts us (the TPU-world
+    replacement for the SLURM requeue handlers, train.py:53-57)."""
+
+    def handler(signum, frame):
+        print(f"[cerebra] signal {signum}: writing preemption checkpoint", file=sys.stderr)
+        save_fn()
+        sys.exit(0)
+
+    for sig in signals:
+        signal.signal(sig, handler)
+
+
+def check_finite_loss(loss: float, step: int) -> None:
+    """Loss-NaN abort (dino/main_dino.py:387-389)."""
+    import math
+
+    if not math.isfinite(loss):
+        raise FloatingPointError(f"Loss is {loss} at step {step}, stopping training")
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: Optional[str], enabled: bool = True):
+    """jax.profiler trace context — TPU timeline for the hot loop (replaces
+    the reference's wall-clock-only MetricLogger timing, utils/utils.py:
+    348-400). View in TensorBoard or xprof."""
+    if not enabled or not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,80 @@
+"""Image sources (folder scan, stratified split, feature extraction) and
+preemption-safe auto-resume."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cerebra.data.sources import ImageSource, extract_features, image_folder_source
+from cerebra.data.schema import LabelCatalog
+from cerebra.train.resume import AutoResume, check_finite_loss
+
+
+def _folder_dataset(tmp_path, n_classes=3, per_class=5):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for c in range(n_classes):
+        d = tmp_path / f"class_{c}"
+        d.mkdir()
+        for i in range(per_class):
+            img = (rng.uniform(0, 255, size=(16, 16, 3))).astype(np.uint8)
+            Image.fromarray(img).save(str(d / f"img_{i}.png"))
+    return str(tmp_path)
+
+
+def test_image_folder_source(tmp_path):
+    root = _folder_dataset(tmp_path)
+    src = image_folder_source(root)
+    assert src.n == 15
+    assert src.catalog.n_classes == 3
+    assert src.load_image(0).shape == (16, 16, 3)
+    tr, te = src.stratified_split(test_size=0.2, seed=43)
+    assert len(tr) + len(te) == 15
+    # stratified: one test sample per class at 20% of 5
+    for c in range(3):
+        assert (src.labels[te] == c).sum() == 1
+
+
+def test_extract_features_bank(tmp_path):
+    root = _folder_dataset(tmp_path)
+    src = image_folder_source(root)
+
+    def model_fn(batch):  # mean-pool "teacher"
+        return jnp.mean(batch, axis=(1, 2))
+
+    feats = extract_features(src, model_fn, batch_size=4, image_size=8)
+    assert feats.shape == (15, 3)
+    assert np.isfinite(feats).all()
+
+
+def test_array_backed_source():
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, size=(8, 10, 10, 3), dtype=np.uint8)
+    src = ImageSource(
+        paths=None, labels=(np.arange(8) % 2).astype(np.int32),
+        catalog=LabelCatalog.synthetic(["a", "b"]), images=imgs,
+    )
+    np.testing.assert_array_equal(src.load_image(3), imgs[3])
+
+
+def test_auto_resume_roundtrip(tmp_path):
+    ar = AutoResume(str(tmp_path / "ckpts"), keep=2)
+    assert ar.latest_step() is None
+    for step in (10, 20, 30):
+        ar.save(step, {"w": jnp.full((3,), float(step)), "step": jnp.asarray(step)})
+    assert ar.latest_step() == 30
+    # retention: only the last `keep` checkpoints survive
+    names = sorted(os.listdir(str(tmp_path / "ckpts")))
+    assert names == ["step_0000000020", "step_0000000030"]
+    step, tree = ar.restore_latest()
+    assert step == 30
+    np.testing.assert_allclose(np.asarray(tree["w"]), 30.0)
+
+
+def test_check_finite_loss():
+    check_finite_loss(1.0, 0)
+    with pytest.raises(FloatingPointError):
+        check_finite_loss(float("nan"), 5)
