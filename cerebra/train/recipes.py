@@ -140,16 +140,26 @@ def feature_distill_train(
 
     step = make_feature_distill_step(model.apply, tx, loss_fn)
 
-    # device-resident corpora; batch sharded over the data axis if meshed
-    def put(x, sharded=False):
-        x = jnp.asarray(x)
-        if mesh is not None:
-            return jax.device_put(x, data_sharding(mesh, x.ndim) if sharded else replicated(mesh))
-        return x
+    # Device-resident corpora. Single chip: whole corpus on device, batches
+    # are device-side gathers. Meshed: batches are host-sliced then sharded
+    # over the data axis (the DistributedSampler equivalent) so each chip
+    # holds 1/N of every batch and jit inserts the gradient psum.
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
 
-    train_eeg_d = put(np.asarray(train_eeg))
-    train_feats_d = put(np.asarray(train_feats))
-    train_labels_d = put(np.asarray(train_labels))
+        def get_batch(idx, epoch_unused=None):
+            return (
+                jax.device_put(jnp.asarray(train_eeg[idx]), data_sharding(mesh, 3)),
+                jax.device_put(jnp.asarray(train_feats[idx]), data_sharding(mesh, 2)),
+                jax.device_put(jnp.asarray(train_labels[idx]), data_sharding(mesh, 1)),
+            )
+    else:
+        train_eeg_d = jnp.asarray(train_eeg)
+        train_feats_d = jnp.asarray(train_feats)
+        train_labels_d = jnp.asarray(train_labels)
+
+        def get_batch(idx, epoch_unused=None):
+            return train_eeg_d[idx], train_feats_d[idx], train_labels_d[idx]
 
     transform = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
 
@@ -165,9 +175,8 @@ def feature_distill_train(
         batches, _ = epoch_batches(len(train_eeg), cfg.batch_size, seed=cfg.seed, epoch=epoch)
         losses = []
         for idx in batches:
-            state, metrics = step(
-                state, train_eeg_d[idx], train_feats_d[idx], train_labels_d[idx], epoch
-            )
+            eeg_b, feats_b, labels_b = get_batch(idx)
+            state, metrics = step(state, eeg_b, feats_b, labels_b, epoch)
             losses.append(metrics["loss"])
         epoch_loss = float(np.mean([float(l) for l in losses]))
         dt = time.perf_counter() - t0
