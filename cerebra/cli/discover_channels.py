@@ -28,6 +28,11 @@ def main(argv=None):
     parser = reference_argparser("Greedy channel discovery (TPU)")
     parser.add_argument("--max_channels", type=int, default=0, help="0 = all")
     parser.add_argument("--channel_map", type=str, default="", help="optional channelmap file")
+    parser.add_argument("--best_window_sweep", action="store_true",
+                        help="per-channel best-time-window sweep instead of the "
+                             "greedy set search (TestRetrieval_DiscoverChannels "
+                             "'best ts' mode)")
+    parser.add_argument("--window_width", type=int, default=1)
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     os.makedirs(FLAGS.log_dir, exist_ok=True)
@@ -36,6 +41,28 @@ def main(argv=None):
     eeg = np.asarray(channel_wise_norm(jnp.asarray(corpus.eeg)))
 
     train_idx, test_idx = random_split_indices(corpus.n, [0.8, 0.2], seed=123)
+
+    if FLAGS.best_window_sweep:
+        from cerebra.eval.channel_discovery import best_window_sweep
+
+        t0 = time.perf_counter()
+        res = best_window_sweep(
+            eeg[train_idx], eeg[test_idx],
+            corpus.labels[train_idx], corpus.labels[test_idx],
+            width=FLAGS.window_width, top_k=FLAGS.topK,
+            n_classes=corpus.catalog.n_classes,
+        )
+        dt = time.perf_counter() - t0
+        order = np.argsort(res.best_recall)[::-1]
+        print(f"best-window sweep ({corpus.n_channels} ch × width {FLAGS.window_width}) in {dt:.2f}s")
+        for ch in order[:10]:
+            print(f"  ch{ch}: best ts {res.best_start[ch]}_{res.best_start[ch]+FLAGS.window_width}"
+                  f" recall {res.best_recall[ch]:.3f}")
+        with open(os.path.join(FLAGS.log_dir, "best_window_sweep.json"), "w") as f:
+            json.dump({"best_start": res.best_start.tolist(),
+                       "best_recall": res.best_recall.tolist(),
+                       "elapsed_s": dt}, f, indent=2)
+        return res
     t0 = time.perf_counter()
     result = greedy_channel_discovery(
         eeg[train_idx], eeg[test_idx],

@@ -13,7 +13,7 @@ Teachers (zero-egress environment — all local):
 
 from __future__ import annotations
 
-import os
+
 
 import numpy as np
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,65 @@ class ChannelDiscoveryResult:
     selected: List[int]  # greedy-ordered channel indices
     recalls: List[float]  # best recall after adding each channel
     per_iteration: List[np.ndarray]  # candidate-recall vector per iteration
+
+
+@dataclasses.dataclass
+class WindowSweepResult:
+    recalls: np.ndarray  # (C, n_windows)
+    best_start: np.ndarray  # (C,) argmax window start per channel
+    best_recall: np.ndarray  # (C,)
+
+
+def best_window_sweep(
+    gallery: np.ndarray,  # (Ng, T, C)
+    query: np.ndarray,  # (Nq, T, C)
+    gallery_labels: np.ndarray,
+    query_labels: np.ndarray,
+    width: int = 1,
+    top_k: int = 5,
+    n_classes: Optional[int] = None,
+    stride: int = 1,
+) -> WindowSweepResult:
+    """Per-channel best-time-window retrieval sweep — the computation behind
+    the reference's logged per-channel "best ts" results
+    (TestRetrieval_DiscoverChannels.py:141-187 and the commented
+    `for iteration in range(0,480,1)` loop at :196-199, i.e. every
+    BASELINE.md number).
+
+    Vectorization: squared L2 over a window [s, s+w) is additive over
+    timepoints, so per channel we build the per-timepoint distance tensor
+    (T, Nq, Ng) once, prefix-sum over T, difference to get every window's
+    distances, and batch the top-k over all windows — one device call per
+    channel instead of T·C faiss index rebuilds.
+    """
+    Ng, T, C = gallery.shape
+    if n_classes is None:
+        n_classes = int(max(gallery_labels.max(), query_labels.max())) + 1
+    starts = np.arange(0, T - width + 1, stride)
+    g_lab = jnp.asarray(gallery_labels)
+    q_lab = jnp.asarray(query_labels)
+    starts_d = jnp.asarray(starts)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def sweep_channel(g_c, q_c):  # (Ng, T), (Nq, T)
+        dt = (q_c.T[:, :, None] - g_c.T[:, None, :]) ** 2  # (T, Nq, Ng)
+        cums = jnp.concatenate(
+            [jnp.zeros((1,) + dt.shape[1:], dt.dtype), jnp.cumsum(dt, axis=0)], axis=0
+        )
+        d_windows = cums[starts_d + width] - cums[starts_d]  # (S, Nq, Ng)
+        return recall_for_distances(d_windows, g_lab, q_lab, top_k, n_classes)
+
+    recalls = np.empty((C, len(starts)), dtype=np.float32)
+    g_d = jnp.asarray(gallery, dtype=jnp.float32)
+    q_d = jnp.asarray(query, dtype=jnp.float32)
+    for c in range(C):
+        recalls[c] = np.asarray(sweep_channel(g_d[:, :, c], q_d[:, :, c]))
+    best_idx = recalls.argmax(axis=1)
+    return WindowSweepResult(
+        recalls=recalls,
+        best_start=starts[best_idx],
+        best_recall=recalls[np.arange(C), best_idx],
+    )
 
 
 def greedy_channel_discovery(

@@ -3,7 +3,7 @@ sharing one class name (SURVEY.md §2.5)."""
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

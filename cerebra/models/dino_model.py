@@ -10,7 +10,7 @@ utils/DinoModel.py:60-78) or random init for smoke tests.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ a PRNG key (no Python-side np.random in the step).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

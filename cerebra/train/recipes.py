@@ -28,7 +28,7 @@ from cerebra.data.sampling import epoch_batches
 from cerebra.eval.retrieval import retrieval_recall_precision
 from cerebra.losses import feature_distribution_loss_v1, teacher_temp_schedule
 from cerebra.models import DINOHead, Model
-from cerebra.parallel.mesh import data_sharding, make_mesh, replicated
+from cerebra.parallel.mesh import data_sharding, replicated
 from cerebra.train.optim import make_optimizer
 from cerebra.train.schedules import cosine_scheduler
 from cerebra.train.steps import (

@@ -10,7 +10,7 @@ jit inserts the gradient all-reduce (the DDP equivalent).
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from cerebra.losses import dino_multicrop_loss, dino_single_pair_loss
+from cerebra.losses import dino_multicrop_loss
 from cerebra.models.multicrop import multicrop_forward
 from cerebra.signal.windows import multicrop_views
 from cerebra.train.ema import ema_update

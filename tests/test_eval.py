@@ -161,3 +161,28 @@ def test_recall_for_distances_rounding():
     q_lab = jnp.asarray(np.array([0, 0, 0]))
     r = float(recall_for_distances(d, g_lab, q_lab, 1, 2)[0])
     assert abs(r - 66.67) < 1e-3
+
+
+def test_best_window_sweep_matches_naive(rng):
+    from cerebra.eval.channel_discovery import best_window_sweep
+
+    corpus = make_synthetic_corpus(seed=9, n_per_class=5, n_classes=3, n_channels=3,
+                                   n_samples=12, class_signal_scale=1.5)
+    half = corpus.n // 2
+    g, q = corpus.eeg[:half], corpus.eeg[half:]
+    gl, ql = corpus.labels[:half], corpus.labels[half:]
+    width, k = 3, 2
+    res = best_window_sweep(g, q, gl, ql, width=width, top_k=k, n_classes=3)
+    assert res.recalls.shape == (3, 12 - width + 1)
+    # naive: per (channel, window) brute-force retrieval
+    for c in range(3):
+        for s in range(12 - width + 1):
+            gf = g[:, s:s + width, c]
+            qf = q[:, s:s + width, c]
+            d2 = ((qf[:, None, :] - gf[None]) ** 2).sum(-1)
+            idx = np.argsort(d2, axis=1)[:, :k]
+            tp = (gl[idx] == ql[:, None]).any(1)
+            recs = [round(tp[ql == cl].sum() * 100 / (ql == cl).sum(), 2)
+                    for cl in range(3) if (ql == cl).any()]
+            want = float(np.mean(recs))
+            assert abs(res.recalls[c, s] - want) < 0.02, (c, s)
