@@ -83,7 +83,8 @@ def epoch_batches(
     padded = num_batches * batch_size
     mask = None
     if padded != n:
-        pad = order[: padded - n]
+        # wrap as many times as needed (batch_size may exceed n)
+        pad = np.resize(order, padded - n)
         mask = np.ones((padded,), dtype=bool)
         mask[n:] = False
         order = np.concatenate([order, pad])

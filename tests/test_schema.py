@@ -141,3 +141,15 @@ def test_split_file(tmp_path):
     c = EEGCorpus.from_pth(path, split_path=split_path, subset="train", subject=1)
     assert c.n == 3
     np.testing.assert_array_equal(c.image_idx, [0, 2, 4])
+
+
+def test_epoch_batches_small_corpus():
+    """batch_size > n must wrap-pad, not crash (found by CLI probing)."""
+    from cerebra.data.sampling import epoch_batches
+
+    batches, mask = epoch_batches(7, 16, seed=0, epoch=0)
+    assert batches.shape == (1, 16) and mask.shape == (1, 16)
+    assert mask.sum() == 7
+    assert set(batches.flatten()) == set(range(7))
+    b2, m2 = epoch_batches(3, 16)
+    assert b2.shape == (1, 16) and m2.sum() == 3
