@@ -45,6 +45,9 @@ def add_dino_flags(parser):
     parser.add_argument("--optimizer", type=str, default="adamw")
     parser.add_argument("--saveckp_freq", type=int, default=20)
     parser.add_argument("--compat_reference_pairing", type=bool_flag, default=False)
+    parser.add_argument("--auto_resume", type=bool_flag, default=True,
+                        help="resume from the newest orbax checkpoint in log_dir "
+                             "(preemption-safe; replaces the SLURM requeue handlers)")
     return parser
 
 
@@ -106,8 +109,13 @@ def main(argv=None):
     def log_fn(msg):
         print(msg)
 
+    resume = None
+    if FLAGS.auto_resume:
+        from cerebra.train.resume import AutoResume
+
+        resume = AutoResume(os.path.join(FLAGS.log_dir, "orbax"))
     state, hist = dino_selfdistill_train(
-        train_eeg, config=cfg, log_fn=log_fn, checkpoint_cb=checkpoint_cb
+        train_eeg, config=cfg, log_fn=log_fn, checkpoint_cb=checkpoint_cb, resume=resume
     )
     with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:
         for e, loss in enumerate(hist["loss"]):

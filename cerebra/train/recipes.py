@@ -265,6 +265,7 @@ def dino_selfdistill_train(
     mesh=None,
     log_fn: Callable[[str], None] = print,
     checkpoint_cb: Optional[Callable[[int, DinoTrainState], None]] = None,
+    resume=None,  # cerebra.train.resume.AutoResume for preemption-safe restarts
 ) -> Tuple[DinoTrainState, Dict[str, List]]:
     """LstmDistillation recipe (SURVEY.md §3.2). Returns (state, history)."""
     cfg = config
@@ -332,7 +333,19 @@ def dino_selfdistill_train(
     eeg_all = np.asarray(train_eeg, dtype=np.float32)
     history: Dict[str, List] = {"loss": [], "epoch_time_s": [], "windows_per_s": []}
 
-    for epoch in range(cfg.epochs):
+    start_epoch = 0
+    if resume is not None:
+        saved_step, saved = resume.restore_latest(template=state)
+        if saved is not None:
+            state = saved
+            start_epoch = int(saved_step) // niter_per_ep
+            log_fn(f"auto-resume: restored step {int(saved_step)} (epoch {start_epoch})")
+        from cerebra.train.resume import install_preemption_handler
+
+        latest = {"state": state}
+        install_preemption_handler(lambda: resume.save(int(latest["state"].step), latest["state"]))
+
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         batches, _ = epoch_batches(n, global_batch, seed=cfg.seed, epoch=epoch)
         batches = batches[:niter_per_ep]
@@ -347,6 +360,9 @@ def dino_selfdistill_train(
         history["epoch_time_s"].append(dt)
         history["windows_per_s"].append(len(batches) * global_batch / dt)
         log_fn(f"EPOCH {epoch} dino_loss: {loss:.6f} ({history['windows_per_s'][-1]:.1f} windows/s)")
+        if resume is not None:
+            latest["state"] = state
+            resume.save(int(state.step), state)
         if checkpoint_cb is not None:
             checkpoint_cb(epoch, state)
 

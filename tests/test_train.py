@@ -140,3 +140,34 @@ def test_orbax_roundtrip(tmp_path):
     back = restore_orbax(path)
     np.testing.assert_allclose(np.asarray(back["a"]), np.asarray(tree["a"]))
     np.testing.assert_allclose(np.asarray(back["b"]["c"]), 1.0)
+
+
+def test_dino_auto_resume(tmp_path):
+    """Interrupt-and-resume: a run stopped after 1 epoch continues from its
+    orbax checkpoint and lands at the same step count as an uninterrupted
+    run (preemption-safe restarts, SURVEY.md §5 failure detection)."""
+    from cerebra.data import make_synthetic_corpus
+    from cerebra.train.resume import AutoResume
+
+    corpus = make_synthetic_corpus(seed=2, n_per_class=8, n_classes=2, n_channels=8,
+                                   n_samples=96)
+    cfg = DinoSelfDistillConfig(
+        epochs=2, batch_size_per_device=8, out_dim=16, embed_dim=8,
+        lstm_layers=1, global_length=48, local_length=24, warmup_epochs=0,
+    )
+    d = str(tmp_path / "resume")
+    r1 = AutoResume(d)
+    s1, _ = dino_selfdistill_train(
+        corpus.eeg, config=DinoSelfDistillConfig(**{**cfg.__dict__, "epochs": 1}),
+        log_fn=lambda s: None, resume=r1,
+    )
+    assert r1.latest_step() == int(s1.step)
+    # resume into a 2-epoch run: only epoch 1 should execute
+    logs = []
+    r2 = AutoResume(d)
+    s2, hist = dino_selfdistill_train(
+        corpus.eeg, config=cfg, log_fn=logs.append, resume=r2,
+    )
+    assert any("auto-resume" in l for l in logs)
+    assert int(s2.step) == 2 * (corpus.n // 8)
+    assert len(hist["loss"]) == 1  # only the remaining epoch ran
