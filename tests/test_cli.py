@@ -75,3 +75,47 @@ def test_discover_channels_cli(workdir):
     with open(os.path.join(log, "channel_discovery.json")) as f:
         out = json.load(f)
     assert out["selected_channels"] == result.selected
+
+
+def test_barlow_train_cli(workdir):
+    from cerebra.cli.barlow_train import main
+
+    log = str(workdir / "barlow")
+    variables, hist = main(
+        ["--synthetic", "--synthetic_classes", "2", "--synthetic_per_class", "4",
+         "--epochs", "2", "--batch_size", "4", "--projector", "32-32",
+         "--n_mels", "32", "--image_size", "32", "--log_dir", log]
+    )
+    assert np.isfinite(hist["loss"]).all()
+    assert os.path.exists(os.path.join(log, "stats.txt"))
+    assert os.path.exists(os.path.join(log, "checkpoint_orbax"))
+
+
+def test_main_dino_cli(workdir):
+    from cerebra.cli.main_dino import main
+
+    log = str(workdir / "maindino")
+    state, hist = main(
+        ["--synthetic", "--synthetic_classes", "2", "--synthetic_per_class", "4",
+         "--epochs", "1", "--batch_size_per_gpu", "4", "--arch", "vit_tiny",
+         "--patch_size", "16", "--out_dim", "64", "--global_size", "64",
+         "--local_size", "32", "--log_dir", log, "--use_bf16", "false",
+         "--warmup_epochs", "0"]
+    )
+    assert np.isfinite(hist["loss"]).all()
+    assert os.path.exists(os.path.join(log, "log.txt"))
+
+
+def test_eeg_retrieval_dino_cli(workdir):
+    from cerebra.cli.eeg_retrieval_dino import main
+
+    log = str(workdir / "retrdino")
+    recall, precision = main(
+        ["--synthetic", "--synthetic_classes", "2", "--synthetic_per_class", "4",
+         "--arch", "vit_tiny", "--patch_size", "16", "--image_size", "64",
+         "--out_dim", "256", "--log_dir", log,
+         "--gallery_tranformation_type", "eeg2eeg",
+         "--query_tranformation_type", "eeg2eeg"]
+    )
+    assert np.isfinite(recall) and np.isfinite(precision)
+    assert os.path.exists(os.path.join(log, "commandline_args.txt"))
