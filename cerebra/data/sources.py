@@ -165,3 +165,23 @@ def extract_features(
         out = model_fn(jnp.asarray(np.stack(batch)))
         feats.append(np.asarray(out))
     return np.concatenate(feats, axis=0)
+
+
+# Named constructors matching the reference's per-dataset classes
+# (SURVEY.md §2.2): all folder-per-class scans share one implementation.
+def caltech101_source(root: str, n_classes: int = 0) -> ImageSource:
+    """utils/Caltech101Dataset.py:16-300 (101_ObjectCategories layout)."""
+    return image_folder_source(root, n_classes=n_classes)
+
+
+def imagenet_source(root: str, n_classes: int = 0) -> ImageSource:
+    """utils/ImageNetDataset.py:16 (wnid folders, n_classes cap)."""
+    return image_folder_source(root, n_classes=n_classes)
+
+
+def domainnet_source(root: str, domain: str = "", n_classes: int = 0) -> ImageSource:
+    """utils/DomainnetDataset.py:16 (domain subfolder of class folders)."""
+    import os as _os
+
+    return image_folder_source(_os.path.join(root, domain) if domain else root,
+                               n_classes=n_classes)

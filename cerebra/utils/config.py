@@ -51,3 +51,20 @@ def fix_random_seeds(seed: int = 31) -> None:
         torch.manual_seed(seed)
     except ImportError:
         pass
+
+
+def get_sha() -> str:
+    """Current git SHA + dirty flag (utils/utils.py:403-420)."""
+    import subprocess
+
+    cwd = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=cwd, stderr=subprocess.DEVNULL
+        ).decode().strip()
+        diff = subprocess.check_output(
+            ["git", "diff-index", "HEAD"], cwd=cwd, stderr=subprocess.DEVNULL
+        ).decode().strip()
+        return f"sha: {sha}, status: {'has uncommitted changes' if diff else 'clean'}"
+    except Exception:
+        return "sha: N/A"
