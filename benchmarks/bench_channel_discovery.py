@@ -29,6 +29,15 @@ def main(n_gallery=1600, n_query=400, T=460, C=96, n_classes=40, top_k=5, iters=
     gallery = (rng.normal(size=(n_gallery, T, C)) * 0.5).astype(np.float32) + sig[g_lab]
     query = (rng.normal(size=(n_query, T, C)) * 0.5).astype(np.float32) + sig[q_lab]
 
+    # warmup: compile the distance einsum + batched top-k once
+    greedy_channel_discovery(
+        gallery[:64], query[:32], g_lab[:64], q_lab[:32], top_k=top_k,
+        n_classes=n_classes, max_channels=1, stop_on_no_improvement=False,
+    )
+    greedy_channel_discovery(
+        gallery, query, g_lab, q_lab, top_k=top_k, n_classes=n_classes,
+        max_channels=1, stop_on_no_improvement=False,
+    )
     t0 = time.perf_counter()
     result = greedy_channel_discovery(
         gallery, query, g_lab, q_lab, top_k=top_k, n_classes=n_classes,

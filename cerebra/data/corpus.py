@@ -183,3 +183,25 @@ class EEGCorpus:
         out = np.zeros((self.n, self.catalog.n_classes), dtype=np.float32)
         out[np.arange(self.n), self.labels] = 1.0
         return out
+
+
+def image_path(corpus: EEGCorpus, idx: int, images_root: str) -> str:
+    """Stimulus JPEG path for a trial (getImagePath/getOriginalImage,
+    utils/PerilsEEGDataset.py:157-166): {root}/{wnid}/{name}.JPEG."""
+    name = corpus.image_names[int(corpus.image_idx[idx])]
+    return f"{images_root}/{name.split('_')[0]}/{name}.JPEG"
+
+
+def label_wise_stats(corpus: EEGCorpus) -> Dict[int, Dict[str, np.ndarray]]:
+    """Per-class EEG mean/std over all trials of the class — the
+    label_wise_data_means tables of utils/Utilities.py:225-408, computed as
+    vectorized reductions instead of a streaming Python loop."""
+    out: Dict[int, Dict[str, np.ndarray]] = {}
+    for c in np.unique(corpus.labels):
+        block = corpus.eeg[corpus.labels == c]
+        out[int(c)] = {
+            "mean": block.mean(axis=0),
+            "std": block.std(axis=0),
+            "count": np.asarray(block.shape[0]),
+        }
+    return out

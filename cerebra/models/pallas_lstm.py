@@ -81,11 +81,13 @@ def _fwd_kernel(x_proj_ref, w_hh_ref, h_all_ref, c_all_ref, h_scratch, c_scratch
 
 def _bwd_kernel(
     x_proj_ref, w_hh_t_ref, w_hh_ref, h_prev_ref, c_pair_ref, g_ref,
-    dx_ref, dwhh_ref, dh_scratch, dc_scratch,
+    dx_ref, dh_scratch, dc_scratch,
 ):
     """Reverse-time step (grid index maps already reversed). Carries dh
     (recurrent grad into h_t) and dc in VMEM scratch; emits dx_proj[t]
-    (= dgates) and accumulates dw_hh."""
+    (= dgates). dW_hh = Σ_t h_{t-1}ᵀ dgates_t is NOT accumulated here — it
+    factors into ONE big XLA matmul over the emitted dgates stream, which
+    removes an f32 transposed MXU matmul from every sequential step."""
     t = pl.program_id(0)
     b = pl.program_id(1)
     Bt = x_proj_ref.shape[1]
@@ -95,10 +97,6 @@ def _bwd_kernel(
     def _():
         dh_scratch[pl.ds(off, Bt)] = jnp.zeros_like(dh_scratch[pl.ds(off, Bt)])
         dc_scratch[pl.ds(off, Bt)] = jnp.zeros_like(dc_scratch[pl.ds(off, Bt)])
-
-        @pl.when(b == 0)
-        def _():
-            dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
 
     H = dh_scratch.shape[-1]
     h_prev = h_prev_ref[0]
@@ -131,9 +129,6 @@ def _bwd_kernel(
         dgates.astype(w_hh_t_ref.dtype), w_hh_t_ref[:], preferred_element_type=jnp.float32
     )
     dc_scratch[pl.ds(off, Bt)] = dc * f
-    dwhh_ref[:] += jnp.dot(
-        h_prev.astype(jnp.float32).T, dgates, preferred_element_type=jnp.float32
-    )
 
 
 def _lstm_scan_fwd_impl(x_proj: jax.Array, w_hh: jax.Array, batch_tile: int):
@@ -202,7 +197,7 @@ def _vjp_bwd(batch_tile, residuals, g):
     w_hh_t = jnp.swapaxes(w_hh, 0, 1)  # (4H, H)
 
     rev3 = lambda t, b: (T - 1 - t, b, 0)
-    dx, dwhh = pl.pallas_call(
+    dx = pl.pallas_call(
         _bwd_kernel,
         grid=(T, nb),
         in_specs=[
@@ -213,25 +208,25 @@ def _vjp_bwd(batch_tile, residuals, g):
             pl.BlockSpec((1, Bt, 2 * H), rev3, memory_space=pltpu.VMEM),  # (c_prev, c)
             pl.BlockSpec((1, Bt, H), rev3, memory_space=pltpu.VMEM),  # upstream g
         ],
-        out_specs=[
-            pl.BlockSpec((1, Bt, four_h), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, four_h), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, four_h), x_proj.dtype),
-            jax.ShapeDtypeStruct((H, four_h), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, Bt, four_h), rev3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, four_h), x_proj.dtype),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=6 * T * B * H * four_h,
+            flops=4 * T * B * H * four_h,
             bytes_accessed=2 * x_proj.size * x_proj.dtype.itemsize,
             transcendentals=8 * T * B * H,
         ),
         interpret=_interpret(),
     )(x_proj, w_hh_t, w_hh, h_prev_all, c_pair, g)
+    # dW_hh = Σ_t h_{t-1}ᵀ dgates_t — factored out of the sequential kernel
+    # into ONE MXU matmul over the whole dgates stream (bf16 inputs are the
+    # residual precision anyway; accumulate in f32)
+    dwhh = jnp.einsum(
+        "tbh,tbg->hg", h_prev_all, dx, preferred_element_type=jnp.float32
+    )
     return dx, dwhh.astype(w_hh.dtype)
 
 

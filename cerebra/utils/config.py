@@ -68,3 +68,26 @@ def get_sha() -> str:
         return f"sha: {sha}, status: {'has uncommitted changes' if diff else 'clean'}"
     except Exception:
         return "sha: N/A"
+
+
+def is_main_process() -> bool:
+    """Rank-0 check (utils/utils.py:436-449 is_main_process/save_on_master)."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def setup_for_distributed(is_master: bool) -> None:
+    """Gate print() to the master process (utils/utils.py:452-464)."""
+    import builtins
+
+    builtin_print = builtins.print
+
+    def gated(*args, force=False, **kwargs):
+        if is_master or force:
+            builtin_print(*args, **kwargs)
+
+    builtins.print = gated
