@@ -149,3 +149,51 @@ def test_melspectrogram_shapes_and_energy(rng):
     m = melspectrogram(x, sr=256.0, n_mels=32)
     assert m.shape[:3] == (2, 3, 32)
     assert np.all(np.asarray(m) >= -1e-6)
+
+
+def test_image_augs(rng):
+    from cerebra.signal.image_aug import (
+        color_jitter,
+        dino_global_crop,
+        dino_local_crop,
+        gaussian_blur,
+        normalize,
+        random_hflip,
+        random_resized_crop,
+        solarization,
+    )
+
+    img = jnp.asarray(rng.uniform(0, 1, size=(64, 64, 3)).astype(np.float32))
+    out = random_resized_crop(jax.random.key(0), img, 32)
+    assert out.shape == (32, 32, 3)
+    flipped = random_hflip(jax.random.key(1), img, p=1.0)
+    np.testing.assert_allclose(np.asarray(flipped), np.asarray(img[:, ::-1, :]))
+    jit = color_jitter(jax.random.key(2), img, p=1.0)
+    assert jit.shape == img.shape and np.isfinite(np.asarray(jit)).all()
+    # blur reduces high-frequency energy (sigma is drawn in [0.1, 2]; assert
+    # over several keys so a near-delta draw can't mask the effect)
+    hf = lambda x: float(jnp.abs(jnp.diff(x, axis=0)).mean())
+    blur_hfs = [hf(gaussian_blur(jax.random.key(k), img, p=1.0)) for k in range(6)]
+    assert min(blur_hfs) < 0.8 * hf(img)
+    assert all(b <= hf(img) + 1e-6 for b in blur_hfs)
+    sol = solarization(jax.random.key(4), img, p=1.0)
+    bright = np.asarray(img) >= 0.5
+    np.testing.assert_allclose(np.asarray(sol)[bright], 1.0 - np.asarray(img)[bright], atol=1e-6)
+    g = dino_global_crop(jax.random.key(5), img, 32)
+    l = dino_local_crop(jax.random.key(6), img, 16)
+    assert g.shape == (32, 32, 3) and l.shape == (16, 16, 3)
+    # normalize: ImageNet stats applied
+    n = normalize(img)
+    assert abs(float(n.mean())) < 3.0
+
+
+def test_tile_eeg_to_image(rng):
+    from cerebra.signal.windows import tile_eeg_to_image
+
+    eeg = jnp.asarray(rng.normal(size=(8, 30)).astype(np.float32))  # (C, T)
+    img = tile_eeg_to_image(jax.random.key(0), eeg, size=16)
+    assert img.shape == (3, 16, 16)
+    # rows tile with period C: row i == row i+8
+    np.testing.assert_allclose(np.asarray(img[0, 0]), np.asarray(img[0, 8]))
+    # all 3 channels identical
+    np.testing.assert_allclose(np.asarray(img[0]), np.asarray(img[2]))
