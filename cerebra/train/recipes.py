@@ -324,13 +324,19 @@ def dino_selfdistill_train(
         compat_reference_pairing=cfg.compat_reference_pairing,
     )
 
-    def put_batch(x):
-        x = jnp.asarray(x)
-        if mesh is not None:
-            return jax.device_put(x, data_sharding(mesh, x.ndim))
-        return x
+    # Single chip: the whole corpus lives in HBM once; a batch is a
+    # device-side gather (no per-step host→device transfer). Meshed: batches
+    # are host-sliced and sharded over the data axis.
+    if mesh is None:
+        eeg_dev = jnp.asarray(np.asarray(train_eeg, dtype=np.float32))
 
-    eeg_all = np.asarray(train_eeg, dtype=np.float32)
+        def put_batch(idx):
+            return eeg_dev[jnp.asarray(idx)]
+    else:
+        eeg_host = np.asarray(train_eeg, dtype=np.float32)
+
+        def put_batch(idx):
+            return jax.device_put(jnp.asarray(eeg_host[idx]), data_sharding(mesh, 3))
     history: Dict[str, List] = {"loss": [], "epoch_time_s": [], "windows_per_s": []}
 
     start_epoch = 0
@@ -352,7 +358,7 @@ def dino_selfdistill_train(
         losses = []
         for it, idx in enumerate(batches):
             key, sub = jax.random.split(key)
-            state, metrics = step(state, put_batch(eeg_all[idx]), sub)
+            state, metrics = step(state, put_batch(idx), sub)
             losses.append(metrics["loss"])
         loss = float(np.mean([float(l) for l in losses]))
         dt = time.perf_counter() - t0
