@@ -62,9 +62,15 @@ def init_distributed() -> None:
         jax.distributed.initialize()
 
 
-def load_corpus(FLAGS) -> EEGCorpus:
+def load_corpus(FLAGS, subset=None, subject=None) -> EEGCorpus:
     """Corpus per flags: synthetic backend or a reference-format .pth
-    (windowed to [time_low, time_high) like every entry script)."""
+    (windowed to [time_low, time_high) like every entry script).
+
+    subset/subject default to the gallery flags; Spampinato-style runs (a
+    split file is given) honor --gallery_subject like the reference loaders
+    (utils/EEGDataset.py:99-128); Perils runs ignore subject exactly like
+    utils/PerilsEEGDataset.py:53-54.
+    """
     if FLAGS.synthetic:
         corpus = make_synthetic_corpus(
             seed=FLAGS.seed,
@@ -77,12 +83,15 @@ def load_corpus(FLAGS) -> EEGCorpus:
         )
     else:
         labels_txt = os.path.join(FLAGS.images_root, "labels.txt")
+        split_path = FLAGS.eeg_dataset_split or None
+        if subject is None:
+            subject = FLAGS.gallery_subject if split_path else 0
         corpus = EEGCorpus.from_pth(
             FLAGS.eeg_dataset,
             labels_txt=labels_txt if os.path.exists(labels_txt) else None,
-            split_path=FLAGS.eeg_dataset_split or None,
-            subset=FLAGS.search_gallery,
-            subject=0,
+            split_path=split_path,
+            subset=subset if subset is not None else FLAGS.search_gallery,
+            subject=subject,
         )
     return corpus.window(FLAGS.time_low, FLAGS.time_high)
 

@@ -31,10 +31,16 @@ def main(argv=None):
     p.add_argument("--notch_filter_freq", type=float, default=60.0)
     p.add_argument("--number_of_image_samples", type=int, default=2000)
     p.add_argument("--image_class_mappings_file", type=str, default=IMAGE_CLASS_MAPPINGS)
+    p.add_argument("--sequence_file", type=str, default="",
+                   help="override the stimulus sequence file (default: by --eeg_design)")
+    p.add_argument("--reference_channels", type=str, default="96,97",
+                   help="0-based re-reference electrode indices (ConvertToPth.py:22)")
     FLAGS, _ = p.parse_known_args(argv)
     print(FLAGS)
 
-    sequence = IMAGE_RAPID_SEQUENCE if FLAGS.eeg_design == "rapid_event" else IMAGE_BLOCK_SEQUENCE
+    sequence = FLAGS.sequence_file or (
+        IMAGE_RAPID_SEQUENCE if FLAGS.eeg_design == "rapid_event" else IMAGE_BLOCK_SEQUENCE
+    )
     data_type = "IMAGE_RAPID" if FLAGS.eeg_design == "rapid_event" else "IMAGE_BLOCK"
     bdf_path = FLAGS.bdf_file or os.path.join(
         FLAGS.data_path, f"spampinato-{FLAGS.subject}-2.bdf"
@@ -46,12 +52,14 @@ def main(argv=None):
         else "_RAW_with_mean_std"
     )
     out_path = os.path.join(FLAGS.out_dir, f"{name}.pth")
+    ref_channels = tuple(int(c) for c in FLAGS.reference_channels.split(","))
     raw = convert_bdf_to_pth(
         bdf_path,
         out_path,
         subject=FLAGS.subject,
         sequence_file=sequence,
         mappings_file=FLAGS.image_class_mappings_file,
+        reference_channels=ref_channels,
         apply_bandpass=FLAGS.apply_high_low_pass_filter,
         band=(FLAGS.low_pass_cut_freq, FLAGS.high_pass_cut_freq),
         apply_notch=FLAGS.apply_notch_filter,

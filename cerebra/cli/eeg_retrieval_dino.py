@@ -54,6 +54,15 @@ def main(argv=None):
         f.write(str(vars(FLAGS)))  # EEGRetreivalDino.py:128-129
 
     corpus = load_corpus(FLAGS)
+    # Spampinato protocol (EEGRetreivalDino.py:163-176): separate datasets —
+    # gallery from (search_gallery, gallery_subject), query from
+    # (query_gallery, query_subject). Without a split file, the Perils
+    # protocol's seed-43 80/20 split of one corpus applies.
+    query_corpus = None
+    if not FLAGS.synthetic and FLAGS.eeg_dataset_split:
+        query_corpus = load_corpus(
+            FLAGS, subset=FLAGS.query_gallery, subject=FLAGS.query_subject
+        )
     args = DinoArgs(arch=FLAGS.arch, patch_size=FLAGS.patch_size,
                     image_size=FLAGS.image_size, out_dim=FLAGS.out_dim)
 
@@ -66,22 +75,27 @@ def main(argv=None):
         print(f"WARNING: no weights for mode {mode}; random-init DINO model")
         return DinoModel(args, seed=FLAGS.seed)
 
-    gallery_idx, query_idx = split_train_val(FLAGS, corpus)
     key = jax.random.key(FLAGS.seed)
 
-    def transform(mode, idx, key):
-        eeg = corpus.eeg[idx]
+    def transform(mode, eeg, key):
         if mode == "eeg":
-            return eeg.reshape(len(idx), -1)
+            return eeg.reshape(len(eeg), -1)
         model = build_model(mode)
         return _dino_features(model, eeg, key, FLAGS.min_time, FLAGS.max_time)
 
     k1, k2 = jax.random.split(key)
-    gallery = transform(FLAGS.gallery_tranformation_type, gallery_idx, k1)
-    query = transform(FLAGS.query_tranformation_type, query_idx, k2)
+    if query_corpus is not None:
+        g_eeg, g_labels = corpus.eeg, corpus.labels
+        q_eeg, q_labels = query_corpus.eeg, query_corpus.labels
+    else:
+        gallery_idx, query_idx = split_train_val(FLAGS, corpus)
+        g_eeg, g_labels = corpus.eeg[gallery_idx], corpus.labels[gallery_idx]
+        q_eeg, q_labels = corpus.eeg[query_idx], corpus.labels[query_idx]
+    gallery = transform(FLAGS.gallery_tranformation_type, g_eeg, k1)
+    query = transform(FLAGS.query_tranformation_type, q_eeg, k2)
 
     recall, precision, scores = evaluate(
-        gallery, query, list(corpus.labels[gallery_idx]), list(corpus.labels[query_idx]),
+        gallery, query, list(g_labels), list(q_labels),
         corpus.catalog, top_k=FLAGS.topK, metadata={"flags": vars(FLAGS)},
     )
     print(f"Overall Recall :{recall} Overall Precision: {precision}")

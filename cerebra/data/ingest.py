@@ -94,6 +94,12 @@ def convert_bdf_to_pth(
     names = bdf.channel_names
 
     # 2) re-reference (average of the two reference electrodes)
+    if max(reference_channels) >= sig.shape[0]:
+        raise ValueError(
+            f"reference channels {tuple(reference_channels)} out of range for a "
+            f"{sig.shape[0]}-channel recording — pass indices valid for this rig "
+            f"(the 96,97 default is the 128-channel BioSemi layout)"
+        )
     ref = sig[list(reference_channels)].mean(axis=0, keepdims=True)
     eeg_rows = [i for i, n in enumerate(names) if not n.lower().startswith("status")]
     sig = sig.copy()
@@ -109,9 +115,11 @@ def convert_bdf_to_pth(
     status = status[: sig.shape[1]]
     epoch_len = int(sampling) // down_ratio_for_timesamples  # 2048/4 → 512
 
-    # 4) events
+    # 4) events — the reference drops the FIRST found event unconditionally
+    # ("remove first event, its useless", ConvertToPth.py:89); recordings
+    # carry a session-start trigger before the stimulus train
     events = find_status_events(status)
-    if len(events) and events[0] < 2:  # the reference drops a leading event
+    if len(events) > 0:
         events = events[1:]
 
     # 5) filters — on device, whole recording in one batched call
@@ -142,7 +150,6 @@ def convert_bdf_to_pth(
     # 7) epoch slicing
     names_list, classes, wnids = load_stimulus_labels(sequence_file, mappings_file)
     n_expected = expected_samples if expected_samples is not None else len(names_list)
-    n_events = min(len(events), n_expected)
     C = sig.shape[0]
     eeg = np.zeros((n_expected, C, epoch_len), dtype=np.float32)
     added = 0

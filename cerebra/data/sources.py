@@ -120,7 +120,10 @@ def torchvision_source(name: str, root: str, train: bool = True) -> ImageSource:
             paths=None, labels=labels, images=images,
             catalog=LabelCatalog(names, names, tuple(str(i) for i in range(len(names)))),
         )
-    labels = np.asarray([ds[i][1] for i in range(len(ds))], dtype=np.int32)
+    if hasattr(ds, "_labels"):  # Flowers102 / OxfordIIITPet store labels
+        labels = np.asarray(ds._labels, dtype=np.int32)
+    else:
+        labels = np.asarray([ds[i][1] for i in range(len(ds))], dtype=np.int32)
     n_cls = int(labels.max()) + 1
     names = tuple(str(i) for i in range(n_cls))
     paths = [str(p) for p in getattr(ds, "_image_files", [])] or None

@@ -139,7 +139,9 @@ class VisionTransformer(nn.Module):
                 return block(tokens, train=train, return_attention=True)
             tokens = block(tokens, train=train)
             if n_intermediate and i >= self.depth - n_intermediate and i < self.depth - 1:
-                intermediates.append(tokens)
+                # the reference norms EVERY returned layer
+                # (dino/vision_transformer.py:232)
+                intermediates.append(final_norm(tokens))
         tokens = final_norm(tokens)
         if n_intermediate:
             return intermediates + [tokens]

@@ -58,18 +58,44 @@ def random_hflip(key: jax.Array, img: jax.Array, p: float = 0.5) -> jax.Array:
 def color_jitter(
     key: jax.Array, img: jax.Array,
     brightness: float = 0.4, contrast: float = 0.4, saturation: float = 0.2,
-    p: float = 0.8,
+    hue: float = 0.1, p: float = 0.8,
 ) -> jax.Array:
-    kb, kc, ks, kp = jax.random.split(key, 4)
+    """ColorJitter(brightness, contrast, saturation, hue) applied with
+    probability p (dino/main_dino.py:488-490). Hue is rotated in the YIQ
+    chroma plane (equivalent to an HSV hue shift up to gamut clipping)."""
+    kb, kc, ks, kh, kp = jax.random.split(key, 5)
     b = 1.0 + jax.random.uniform(kb, (), minval=-brightness, maxval=brightness)
     c = 1.0 + jax.random.uniform(kc, (), minval=-contrast, maxval=contrast)
     s = 1.0 + jax.random.uniform(ks, (), minval=-saturation, maxval=saturation)
+    theta = 2.0 * jnp.pi * jax.random.uniform(kh, (), minval=-hue, maxval=hue)
     out = img * b
     mean = jnp.mean(out, axis=(0, 1), keepdims=True)
     out = (out - mean) * c + mean
     gray = jnp.mean(out, axis=-1, keepdims=True)
     out = (out - gray) * s + gray
+    if hue > 0:
+        # rotate chroma: RGB → YIQ, rotate (I, Q) by theta, back to RGB
+        rgb2yiq = jnp.array([[0.299, 0.587, 0.114],
+                             [0.5959, -0.2746, -0.3213],
+                             [0.2115, -0.5227, 0.3112]], dtype=out.dtype)
+        yiq2rgb = jnp.array([[1.0, 0.956, 0.619],
+                             [1.0, -0.272, -0.647],
+                             [1.0, -1.106, 1.703]], dtype=out.dtype)
+        yiq = out @ rgb2yiq.T
+        cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+        rot = jnp.stack([
+            yiq[..., 0],
+            cos_t * yiq[..., 1] - sin_t * yiq[..., 2],
+            sin_t * yiq[..., 1] + cos_t * yiq[..., 2],
+        ], axis=-1)
+        out = rot @ yiq2rgb.T
     return jnp.where(jax.random.bernoulli(kp, p), jnp.clip(out, 0.0, 1.0), img)
+
+
+def random_grayscale(key: jax.Array, img: jax.Array, p: float = 0.2) -> jax.Array:
+    """transforms.RandomGrayscale(p=0.2) (dino/main_dino.py:491)."""
+    gray = jnp.broadcast_to(jnp.mean(img, axis=-1, keepdims=True), img.shape)
+    return jnp.where(jax.random.bernoulli(key, p), gray, img)
 
 
 def gaussian_blur(key: jax.Array, img: jax.Array, p: float = 0.5, sigma_max: float = 2.0) -> jax.Array:
@@ -102,10 +128,11 @@ def solarization(key: jax.Array, img: jax.Array, p: float = 0.2) -> jax.Array:
 
 def dino_global_crop(key: jax.Array, img: jax.Array, out_size: int = 224,
                      scale=(0.4, 1.0), blur_p: float = 1.0, solarize_p: float = 0.0) -> jax.Array:
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     out = random_resized_crop(k1, img, out_size, scale=scale)
     out = random_hflip(k2, out)
     out = color_jitter(k3, out)
+    out = random_grayscale(k6, out)
     out = gaussian_blur(k4, out, p=blur_p)
     if solarize_p > 0:
         out = solarization(k5, out, p=solarize_p)
@@ -114,9 +141,10 @@ def dino_global_crop(key: jax.Array, img: jax.Array, out_size: int = 224,
 
 def dino_local_crop(key: jax.Array, img: jax.Array, out_size: int = 96,
                     scale=(0.05, 0.4)) -> jax.Array:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     out = random_resized_crop(k1, img, out_size, scale=scale)
     out = random_hflip(k2, out)
     out = color_jitter(k3, out)
+    out = random_grayscale(k5, out)
     out = gaussian_blur(k4, out, p=0.5)
     return normalize(out)

@@ -74,18 +74,23 @@ def resize_eeg_to_image(eeg: jax.Array, size: int = 224) -> jax.Array:
 
 
 def tile_eeg_to_image(key: jax.Array, eeg: jax.Array, size: int = 224) -> jax.Array:
-    """Exact resizeEEGToImageSize semantics (utils/EEGDataset.py:248-303):
-    tile-repeat rows (channels) and columns (time) up to ≥size, slice rows to
-    size, take a RANDOM size-wide time window, replicate ×3 channels.
+    """resizeEEGToImageSize semantics (utils/EEGDataset.py:248-303): each row
+    (channel) is repeated ADJACENTLY `size//C+1` times (np.repeat axis=0),
+    each column (time sample) likewise (np.repeat axis=1), rows sliced to
+    `size`, then a RANDOM size-wide column window is taken and the plane is
+    replicated ×3 channels.
 
-    eeg: (C, T) channel-first like the reference's input → (3, size, size).
+    eeg: (C, T) channel-first — the orientation the function's own contract
+    assumes ("EEG input_data is assumed (128, 460)", :264). Note the
+    reference calls it through two inconsistent paths (the __getitem__ path
+    passes (T, C)); we standardize on the documented (C, T) intent.
     Used by the EEG-as-image DINO recipe (dino/main_dino.py:523-531).
     """
     C, T = eeg.shape
     reps_r = size // C + 1
     reps_c = size // T + 1
-    tiled = jnp.tile(eeg, (reps_r, reps_c))[:size, :]
-    width = tiled.shape[1]
+    rep = jnp.repeat(jnp.repeat(eeg, reps_r, axis=0), reps_c, axis=1)[:size, :]
+    width = rep.shape[1]
     start = jax.random.randint(key, (), 0, max(width - size, 1))
-    window = jax.lax.dynamic_slice_in_dim(tiled, start, size, axis=1)
+    window = jax.lax.dynamic_slice_in_dim(rep, start, size, axis=1)
     return jnp.broadcast_to(window[None], (3, size, size))

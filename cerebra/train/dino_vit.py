@@ -73,7 +73,10 @@ def make_eeg_image_view_fn(
     """(key, (eeg (B,T,C), images (B,H,W,3)|None)) → [globals, locals].
 
     Globals: tiled EEG images with independent random time windows
-    (dino/main_dino.py:526-531); normalized like the image pipeline.
+    (dino/main_dino.py:526-531) — fed RAW, exactly like the reference, which
+    passes the EEG tensor without image normalization (note the resulting
+    scale mismatch vs ImageNet-normalized local image crops is a property of
+    the reference recipe, preserved deliberately).
     Locals: augmented stimulus-image crops, or EEG-image crops without
     stimulus images.
     """

@@ -172,7 +172,15 @@ def feature_distill_train(
 
     for epoch in range(cfg.num_epochs):
         t0 = time.perf_counter()
-        batches, _ = epoch_batches(len(train_eeg), cfg.batch_size, seed=cfg.seed, epoch=epoch)
+        # full-size batches + one ragged tail batch (reference DataLoader
+        # semantics: no duplicated samples; the tail has its own jit
+        # signature, compiled once)
+        n_train = len(train_eeg)
+        order = np.random.default_rng((cfg.seed, epoch)).permutation(n_train)
+        full = n_train // cfg.batch_size * cfg.batch_size
+        batches = list(order[:full].reshape(-1, cfg.batch_size))
+        if full < n_train:
+            batches.append(order[full:])
         losses = []
         for idx in batches:
             eeg_b, feats_b, labels_b = get_batch(idx)

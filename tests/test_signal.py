@@ -193,7 +193,10 @@ def test_tile_eeg_to_image(rng):
     eeg = jnp.asarray(rng.normal(size=(8, 30)).astype(np.float32))  # (C, T)
     img = tile_eeg_to_image(jax.random.key(0), eeg, size=16)
     assert img.shape == (3, 16, 16)
-    # rows tile with period C: row i == row i+8
-    np.testing.assert_allclose(np.asarray(img[0, 0]), np.asarray(img[0, 8]))
+    # np.repeat semantics (utils/EEGDataset.py:267): each channel row is
+    # repeated ADJACENTLY reps times → rows 0..2 are channel 0, 3..5 ch 1, ...
+    np.testing.assert_allclose(np.asarray(img[0, 0]), np.asarray(img[0, 1]))
+    np.testing.assert_allclose(np.asarray(img[0, 3]), np.asarray(img[0, 5]))
+    assert not np.allclose(np.asarray(img[0, 2]), np.asarray(img[0, 3]))
     # all 3 channels identical
     np.testing.assert_allclose(np.asarray(img[0]), np.asarray(img[2]))
