@@ -41,10 +41,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_tile(B: int, tile: int) -> int:
+def _pick_tile(B: int, tile: int, H: int = 96) -> int:
+    """Largest divisor of B not above `tile`, capped so the backward kernel's
+    per-step blocks + full-batch carry scratch stay inside the ~16 MB VMEM
+    budget (measured: Bt=1024 @ H=128, B=4096 overflows by ~1 MB)."""
+    # rough VMEM model: double-buffered streams ≈ 112·H bytes/row + 8·B·H
+    # scratch; keep under ~12 MB with margin
+    budget = 12 * 1024 * 1024 - 8 * B * H
+    cap = max(budget // (112 * H), 128)
+    tile = min(tile, int(cap))
     if B <= tile:
         return B
-    while B % tile != 0:  # largest divisor of B not above `tile`
+    while B % tile != 0:
         tile -= 1
     return tile
 
@@ -134,7 +142,7 @@ def _bwd_kernel(
 def _lstm_scan_fwd_impl(x_proj: jax.Array, w_hh: jax.Array, batch_tile: int):
     T, B, four_h = x_proj.shape
     H = four_h // 4
-    Bt = _pick_tile(B, batch_tile)
+    Bt = _pick_tile(B, batch_tile, H)
     nb = B // Bt
     h_all, c_all = pl.pallas_call(
         _fwd_kernel,
@@ -187,7 +195,7 @@ def _vjp_bwd(batch_tile, residuals, g):
     x_proj, w_hh, h_all, c_all = residuals
     T, B, four_h = x_proj.shape
     H = four_h // 4
-    Bt = _pick_tile(B, batch_tile)
+    Bt = _pick_tile(B, batch_tile, H)
     nb = B // Bt
 
     # h_prev / c_prev streams: shifted right by one (zeros at t=0)
