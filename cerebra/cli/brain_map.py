@@ -29,21 +29,23 @@ def main(argv=None):
 
     corpus = load_corpus(FLAGS)
     N, T, C = corpus.eeg.shape
-    bins = np.array_split(np.arange(T), FLAGS.n_time_bins)
+    n_bins = min(FLAGS.n_time_bins, T)  # no empty (NaN) bins
+    bins = np.array_split(np.arange(T), n_bins)
+    present = np.unique(corpus.labels)
     # feature per (channel, time-bin): class-conditional mean power profile
-    feats = np.zeros((C, FLAGS.n_time_bins, corpus.catalog.n_classes), dtype=np.float32)
-    for ci, cls in enumerate(np.unique(corpus.labels)):
+    feats = np.zeros((C, n_bins, len(present)), dtype=np.float32)
+    for ci, cls in enumerate(present):
         block = corpus.eeg[corpus.labels == cls]  # (n, T, C)
         power = (block**2).mean(axis=0)  # (T, C)
         for bi, idx in enumerate(bins):
             feats[:, bi, ci] = power[idx].mean(axis=0)
-    flat = feats.reshape(C * FLAGS.n_time_bins, -1)
+    flat = feats.reshape(C * n_bins, -1)
     dim = min(FLAGS.pca_dim, flat.shape[1])
     reduced = PCA(dim=dim, whit=0.5).fit(flat).apply(flat) if dim < flat.shape[1] else flat
     labels = KMeans(n_clusters=FLAGS.n_clusters, n_init=5, random_state=FLAGS.seed).fit_predict(
         reduced
     )
-    grid = labels.reshape(C, FLAGS.n_time_bins)
+    grid = labels.reshape(C, n_bins)
 
     fig = plt.figure(figsize=(12, 8))
     plt.imshow(grid, aspect="auto", cmap="tab10", interpolation="nearest")

@@ -117,8 +117,9 @@ def main(argv=None):
     state, hist = dino_selfdistill_train(
         train_eeg, config=cfg, log_fn=log_fn, checkpoint_cb=checkpoint_cb, resume=resume
     )
+    start_epoch = FLAGS.epochs - len(hist["loss"])  # >0 after auto-resume
     with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:
-        for e, loss in enumerate(hist["loss"]):
+        for e, loss in enumerate(hist["loss"], start=start_epoch):
             f.write(json.dumps({"train_loss": loss, "epoch": e}) + "\n")
     return state, hist
 

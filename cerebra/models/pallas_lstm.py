@@ -48,6 +48,12 @@ def _pick_tile(B: int, tile: int, H: int = 96) -> int:
     # rough VMEM model: double-buffered streams ≈ 112·H bytes/row + 8·B·H
     # scratch; keep under ~12 MB with margin
     budget = 12 * 1024 * 1024 - 8 * B * H
+    if budget <= 0:
+        raise ValueError(
+            f"LSTM batch {B} × hidden {H} needs {8 * B * H / 2**20:.1f} MB of "
+            f"VMEM carry scratch alone — shard the batch (smaller per-device "
+            f"batch or a data mesh) instead of growing the kernel"
+        )
     cap = max(budget // (112 * H), 128)
     tile = min(tile, int(cap))
     if B <= tile:
@@ -230,8 +236,11 @@ def _vjp_bwd(batch_tile, residuals, g):
         interpret=_interpret(),
     )(x_proj, w_hh_t, w_hh, h_prev_all, c_pair, g)
     # dW_hh = Σ_t h_{t-1}ᵀ dgates_t — factored out of the sequential kernel
-    # into ONE MXU matmul over the whole dgates stream (bf16 inputs are the
-    # residual precision anyway; accumulate in f32)
+    # into ONE MXU matmul over the whole dgates stream. NOTE: in bf16 mode
+    # dgates round to bf16 on the way out of the kernel (the in-kernel
+    # accumulator used f32 terms); accumulation here is still f32, so the
+    # difference is per-term rounding noise — acceptable for bf16 training,
+    # exact in f32 mode (dx inherits x_proj's dtype)
     dwhh = jnp.einsum(
         "tbh,tbg->hg", h_prev_all, dx, preferred_element_type=jnp.float32
     )

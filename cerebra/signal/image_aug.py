@@ -68,10 +68,11 @@ def color_jitter(
     c = 1.0 + jax.random.uniform(kc, (), minval=-contrast, maxval=contrast)
     s = 1.0 + jax.random.uniform(ks, (), minval=-saturation, maxval=saturation)
     theta = 2.0 * jnp.pi * jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+    luma = jnp.asarray([0.299, 0.587, 0.114], dtype=img.dtype)  # ITU-R 601
     out = img * b
     mean = jnp.mean(out, axis=(0, 1), keepdims=True)
     out = (out - mean) * c + mean
-    gray = jnp.mean(out, axis=-1, keepdims=True)
+    gray = jnp.sum(out * luma, axis=-1, keepdims=True)
     out = (out - gray) * s + gray
     if hue > 0:
         # rotate chroma: RGB → YIQ, rotate (I, Q) by theta, back to RGB
@@ -93,8 +94,10 @@ def color_jitter(
 
 
 def random_grayscale(key: jax.Array, img: jax.Array, p: float = 0.2) -> jax.Array:
-    """transforms.RandomGrayscale(p=0.2) (dino/main_dino.py:491)."""
-    gray = jnp.broadcast_to(jnp.mean(img, axis=-1, keepdims=True), img.shape)
+    """transforms.RandomGrayscale(p=0.2) (dino/main_dino.py:491) — ITU-R 601
+    luma weights like torchvision's rgb_to_grayscale."""
+    luma = jnp.asarray([0.299, 0.587, 0.114], dtype=img.dtype)
+    gray = jnp.broadcast_to(jnp.sum(img * luma, axis=-1, keepdims=True), img.shape)
     return jnp.where(jax.random.bernoulli(key, p), gray, img)
 
 

@@ -146,8 +146,16 @@ def feature_distill_train(
     # holds 1/N of every batch and jit inserts the gradient psum.
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
+        n_data = mesh.shape[mesh.axis_names[0]]
 
         def get_batch(idx, epoch_unused=None):
+            # a sharded batch dim must divide the data-axis size; trim the
+            # ragged tail to the nearest multiple (drops < n_devices samples
+            # per epoch, reshuffled every epoch)
+            usable = len(idx) // n_data * n_data
+            idx = idx[:usable]
+            if usable == 0:
+                return None
             return (
                 jax.device_put(jnp.asarray(train_eeg[idx]), data_sharding(mesh, 3)),
                 jax.device_put(jnp.asarray(train_feats[idx]), data_sharding(mesh, 2)),
@@ -182,15 +190,20 @@ def feature_distill_train(
         if full < n_train:
             batches.append(order[full:])
         losses = []
+        n_seen = 0
         for idx in batches:
-            eeg_b, feats_b, labels_b = get_batch(idx)
+            batch = get_batch(idx)
+            if batch is None:  # meshed ragged tail smaller than the mesh
+                continue
+            eeg_b, feats_b, labels_b = batch
             state, metrics = step(state, eeg_b, feats_b, labels_b, epoch)
             losses.append(metrics["loss"])
+            n_seen += len(eeg_b)
         epoch_loss = float(np.mean([float(l) for l in losses]))
         dt = time.perf_counter() - t0
         history["train_loss"].append(epoch_loss)
         history["epoch_time_s"].append(dt)
-        history["windows_per_s"].append(len(batches) * cfg.batch_size / dt)
+        history["windows_per_s"].append(n_seen / dt)
 
         if cfg.validation_frequency and epoch % cfg.validation_frequency == 0 and epoch > 0:
             gallery = corpus_features(state.params, train_eeg)
@@ -353,6 +366,9 @@ def dino_selfdistill_train(
         if saved is not None:
             state = saved
             start_epoch = int(saved_step) // niter_per_ep
+            # fast-forward the PRNG stream so resumed epochs don't replay the
+            # crop/augmentation keys epochs 0..start already consumed
+            key = jax.random.fold_in(key, int(saved_step))
             log_fn(f"auto-resume: restored step {int(saved_step)} (epoch {start_epoch})")
         from cerebra.train.resume import install_preemption_handler
 
@@ -368,6 +384,8 @@ def dino_selfdistill_train(
             key, sub = jax.random.split(key)
             state, metrics = step(state, put_batch(idx), sub)
             losses.append(metrics["loss"])
+            if resume is not None:
+                latest["state"] = state  # preemption handler sees fresh state
         loss = float(np.mean([float(l) for l in losses]))
         dt = time.perf_counter() - t0
         history["loss"].append(loss)

@@ -19,33 +19,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _stub_torchvision():
-    """The environment has no torchvision; the reference loader only touches
-    transforms.Compose/Lambda/Resize/ToTensor in its ctor, so a minimal stub
-    suffices for the EEG-path parity check."""
-    import types
-
-    if "torchvision" in sys.modules:
-        return
-
-    class _Noop:
-        def __init__(self, *a, **k):
-            pass
-
-        def __call__(self, x):
-            return x
-
-    transforms = types.ModuleType("torchvision.transforms")
-    for name in (
-        "Compose", "Lambda", "Resize", "ToTensor", "Normalize", "CenterCrop",
-        "RandomResizedCrop", "RandomHorizontalFlip",
-    ):
-        setattr(transforms, name, _Noop)
-    transforms.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
-    tv = types.ModuleType("torchvision")
-    tv.transforms = transforms
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.transforms"] = transforms
+from tests._reference_stubs import stub_torchvision as _stub_torchvision
 
 
 @pytest.fixture(scope="module")
