@@ -123,26 +123,49 @@ def _bwd_kernel(
             h_prev.astype(w_hh_ref.dtype), w_hh_ref[:], preferred_element_type=jnp.float32
         )
     ).astype(jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    tanh_c = jnp.tanh(c_cur)
+    i32 = jax.nn.sigmoid(gates[:, :H])
+    f32_ = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g32 = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o32 = jax.nn.sigmoid(gates[:, 3 * H :])
+    tanh_c32 = jnp.tanh(c_cur)
 
-    dh = dh_scratch[pl.ds(off, Bt)] + g_ref[0].astype(jnp.float32)
-    dc = dc_scratch[pl.ds(off, Bt)] + dh * o * (1.0 - tanh_c * tanh_c)
-
-    do = dh * tanh_c * o * (1.0 - o)
-    di = dc * g * i * (1.0 - i)
-    df = dc * c_prev * f * (1.0 - f)
-    dg = dc * i * (1.0 - g * g)
-    dgates = jnp.concatenate([di, df, dg, do], axis=-1)  # (Bt, 4H)
+    if x_proj_ref.dtype == jnp.bfloat16:
+        # bf16 mode: transcendentals + derivative PREFACTORS stay f32
+        # (Mosaic rejects f32-scalar→bf16-vector splats inside sigmoid/tanh
+        # on bf16), the derivative ALGEBRA runs in bf16 — 1.43× faster,
+        # grad cosine vs the f32 path 0.9998 at Perils shapes
+        bf = jnp.bfloat16
+        i, f, g, o = i32.astype(bf), f32_.astype(bf), g32.astype(bf), o32.astype(bf)
+        di_pre = (i32 * (1.0 - i32)).astype(bf)
+        df_pre = (f32_ * (1.0 - f32_)).astype(bf)
+        dg_pre = (1.0 - g32 * g32).astype(bf)
+        do_pre = (o32 * (1.0 - o32)).astype(bf)
+        dtanh = (1.0 - tanh_c32 * tanh_c32).astype(bf)
+        tanh_c = tanh_c32.astype(bf)
+        dh = (dh_scratch[pl.ds(off, Bt)] + g_ref[0].astype(jnp.float32)).astype(bf)
+        dc32 = dc_scratch[pl.ds(off, Bt)] + (dh * o * dtanh).astype(jnp.float32)
+        dc = dc32.astype(bf)
+        do = dh * tanh_c * do_pre
+        di = dc * g * di_pre
+        df = dc * c_prev.astype(bf) * df_pre
+        dg = dc * i * dg_pre
+        dgates = jnp.concatenate([di, df, dg, do], axis=-1)  # (Bt, 4H) bf16
+        dc_next = dc32 * f32_
+    else:
+        dh = dh_scratch[pl.ds(off, Bt)] + g_ref[0].astype(jnp.float32)
+        dc = dc_scratch[pl.ds(off, Bt)] + dh * o32 * (1.0 - tanh_c32 * tanh_c32)
+        do = dh * tanh_c32 * o32 * (1.0 - o32)
+        di = dc * g32 * i32 * (1.0 - i32)
+        df = dc * c_prev * f32_ * (1.0 - f32_)
+        dg = dc * i32 * (1.0 - g32 * g32)
+        dgates = jnp.concatenate([di, df, dg, do], axis=-1)  # (Bt, 4H)
+        dc_next = dc * f32_
 
     dx_ref[0] = dgates.astype(dx_ref.dtype)
     dh_scratch[pl.ds(off, Bt)] = jnp.dot(
         dgates.astype(w_hh_t_ref.dtype), w_hh_t_ref[:], preferred_element_type=jnp.float32
     )
-    dc_scratch[pl.ds(off, Bt)] = dc * f
+    dc_scratch[pl.ds(off, Bt)] = dc_next
 
 
 def _lstm_scan_fwd_impl(x_proj: jax.Array, w_hh: jax.Array, batch_tile: int):
