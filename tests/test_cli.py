@@ -119,3 +119,36 @@ def test_eeg_retrieval_dino_cli(workdir):
     )
     assert np.isfinite(recall) and np.isfinite(precision)
     assert os.path.exists(os.path.join(log, "commandline_args.txt"))
+
+
+def test_training_is_deterministic(workdir):
+    """Two identical seeded runs produce identical losses — the reference
+    only had fix_random_seeds; explicit PRNG keys make this exact."""
+    from cerebra.cli.lstm_distill_from_dinov2_train import main as train_main
+
+    histories = []
+    for run in range(2):
+        _, hist = train_main(
+            ["--synthetic", "--num_epochs", "3", "--log_dir", str(workdir / f"det{run}"),
+             "--synthetic_classes", "3", "--synthetic_per_class", "4",
+             "--use_bf16", "false"]
+        )
+        histories.append(hist["train_loss"])
+    np.testing.assert_array_equal(histories[0], histories[1])
+
+
+def test_analysis_tools_smoke(workdir):
+    from cerebra.cli.brain_map import main as brain_main
+    from cerebra.cli.noise_probe import main as noise_main
+    from cerebra.cli.save_channelwise_outputs import main as cw_main
+
+    args = ["--synthetic", "--synthetic_classes", "2", "--synthetic_per_class", "3"]
+    grid = brain_main(args + ["--n_time_bins", "6", "--n_clusters", "2",
+                              "--log_dir", str(workdir / "bm")])
+    assert grid.shape[1] == 6
+    out = noise_main(args + ["--image_size", "32", "--n_noise", "4",
+                             "--images_root", "/nonexistent",
+                             "--log_dir", str(workdir / "np")])
+    assert np.isfinite(out["mean_cos_real_vs_noise"])
+    paths = cw_main(args + ["--max_plots", "2", "--log_dir", str(workdir / "cw")])
+    assert len(paths) == 2
