@@ -19,7 +19,12 @@ import os
 
 import numpy as np
 
-from cerebra.cli.common import init_distributed, load_corpus, reference_argparser
+from cerebra.cli.common import (
+    init_distributed,
+    load_corpus,
+    make_cli_mesh,
+    reference_argparser,
+)
 from cerebra.train.barlow_recipe import BarlowConfig, barlow_train
 
 
@@ -66,7 +71,10 @@ def main(argv=None):
         with open(stats_path, "a") as f:
             f.write(json.dumps({"msg": msg}) + "\n")
 
-    variables, hist = barlow_train(images, corpus.eeg, config=cfg, log_fn=log_fn)
+    variables, hist = barlow_train(
+        images, corpus.eeg, config=cfg,
+        mesh=make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size), log_fn=log_fn
+    )
 
     from cerebra.train.checkpoints import save_orbax
 

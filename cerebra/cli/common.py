@@ -49,7 +49,45 @@ def reference_argparser(description: str) -> argparse.ArgumentParser:
                    help="precomputed teacher features (.npy/.npz/.pth) aligned to the corpus")
     p.add_argument("--feature_dim", type=int, default=384)
     p.add_argument("--use_bf16", type=bool_flag, default=True)
+    p.add_argument("--devices", type=int, default=0,
+                   help="data-parallel device count: 0 = all local devices "
+                        "(the DDP/DistributedSampler equivalent of "
+                        "LstmDistillation.py:406,445), 1 = single device, "
+                        "N = first N devices")
     return p
+
+
+def make_cli_mesh(FLAGS, global_batch=None):
+    """A 1-D "data" mesh over --devices local devices, or None for a single
+    device. This is the CLI-facing DP world: the reference wraps every entry
+    script in DDP + DistributedSampler (LstmDistillation.py:406,445,
+    EEG-BarlowNetworks/train.py:71-99); here the same surface is a mesh whose
+    data axis the recipes shard every batch over (jit inserts the grad psum).
+
+    --devices 0 (default) = auto: all local devices, clamped to the largest
+    count that divides `global_batch` when the recipe uses a global batch
+    size (the reference asserts divisibility instead and crashes,
+    EEG-BarlowNetworks/train.py:129). An explicit --devices N is honored
+    exactly — an indivisible batch then errors like the reference.
+    """
+    import jax
+
+    from cerebra.parallel.mesh import make_mesh
+
+    n = int(getattr(FLAGS, "devices", 0) or 0)
+    avail = jax.device_count()
+    if n == 0:
+        n = avail
+        if global_batch:
+            while n > 1 and global_batch % n != 0:
+                n -= 1
+    if n > avail:
+        raise SystemExit(f"--devices {n} requested but only {avail} devices visible")
+    if n <= 1:
+        return None
+    mesh = make_mesh(("data",), (n,), jax.devices()[:n])
+    print(f"mesh: {n} devices on the data axis ({jax.devices()[0].platform})")
+    return mesh
 
 
 def init_distributed() -> None:
@@ -58,6 +96,15 @@ def init_distributed() -> None:
     single-process runs need nothing."""
     import jax
 
+    # honor JAX_PLATFORMS even when a site plugin (e.g. a tunneled TPU
+    # backend) registered itself and overrode the env var — the config call
+    # wins as long as no backend has initialized yet
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 

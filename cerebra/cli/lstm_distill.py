@@ -13,6 +13,7 @@ from cerebra.cli.common import (
     init_distributed,
     load_corpus,
     load_teacher_features,
+    make_cli_mesh,
     reference_argparser,
     split_train_val,
 )
@@ -47,7 +48,7 @@ def main(argv=None):
     state, hist = feature_distill_train(
         corpus.eeg[train_idx], feats[train_idx], corpus.labels[train_idx],
         corpus.eeg[val_idx], feats[val_idx], corpus.labels[val_idx],
-        config=cfg, n_classes=corpus.catalog.n_classes,
+        config=cfg, mesh=make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size), n_classes=corpus.catalog.n_classes,
     )
     best_params = hist["best_params"][0]
     if best_params is not None:

@@ -19,6 +19,7 @@ from cerebra.cli.common import (
     init_distributed,
     load_corpus,
     load_teacher_features,
+    make_cli_mesh,
     parsed_hyperparams,
     reference_argparser,
     split_train_val,
@@ -65,7 +66,7 @@ def main(argv=None):
     state, hist = feature_distill_train(
         corpus.eeg[train_idx], feats[train_idx], corpus.labels[train_idx],
         corpus.eeg[val_idx], feats[val_idx], corpus.labels[val_idx],
-        config=cfg, n_classes=corpus.catalog.n_classes,
+        config=cfg, mesh=make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size), n_classes=corpus.catalog.n_classes,
     )
 
     best_params = hist["best_params"][0]

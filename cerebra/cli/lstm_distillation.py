@@ -15,7 +15,12 @@ import os
 
 import jax.numpy as jnp
 
-from cerebra.cli.common import init_distributed, load_corpus, reference_argparser
+from cerebra.cli.common import (
+    init_distributed,
+    load_corpus,
+    make_cli_mesh,
+    reference_argparser,
+)
 from cerebra.data import random_split_indices
 from cerebra.train.checkpoints import export_dino_pth
 from cerebra.train.recipes import DinoSelfDistillConfig, dino_selfdistill_train
@@ -115,7 +120,8 @@ def main(argv=None):
 
         resume = AutoResume(os.path.join(FLAGS.log_dir, "orbax"))
     state, hist = dino_selfdistill_train(
-        train_eeg, config=cfg, log_fn=log_fn, checkpoint_cb=checkpoint_cb, resume=resume
+        train_eeg, config=cfg, mesh=make_cli_mesh(FLAGS), log_fn=log_fn,
+        checkpoint_cb=checkpoint_cb, resume=resume,
     )
     start_epoch = FLAGS.epochs - len(hist["loss"])  # >0 after auto-resume
     with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:

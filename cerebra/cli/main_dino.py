@@ -9,7 +9,12 @@ import os
 
 import jax.numpy as jnp
 
-from cerebra.cli.common import init_distributed, load_corpus, reference_argparser
+from cerebra.cli.common import (
+    init_distributed,
+    load_corpus,
+    make_cli_mesh,
+    reference_argparser,
+)
 from cerebra.train.dino_vit import DinoVitConfig, dino_vit_train
 from cerebra.utils.config import bool_flag
 
@@ -59,7 +64,9 @@ def main(argv=None):
         seed=FLAGS.seed, dtype=jnp.bfloat16 if FLAGS.use_bf16 else None,
     )
     # stimulus images: not bundled — locals fall back to EEG-image crops
-    state, hist = dino_vit_train(corpus.eeg, images=None, config=cfg)
+    state, hist = dino_vit_train(
+        corpus.eeg, images=None, config=cfg, mesh=make_cli_mesh(FLAGS)
+    )
     with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:
         for e, loss in enumerate(hist["loss"]):
             f.write(json.dumps({"train_loss": loss, "epoch": e}) + "\n")

@@ -51,12 +51,26 @@ def barlow_train(
     eeg: np.ndarray,  # (N, T, C) — spectrogrammed here
     config: BarlowConfig = BarlowConfig(),
     sample_rate: float = 256.0,
+    mesh=None,
     log_fn: Callable[[str], None] = print,
 ) -> Tuple[dict, Dict[str, List]]:
-    """Returns ({'params', 'batch_stats'}, history)."""
+    """Returns ({'params', 'batch_stats'}, history).
+
+    With a mesh, each global batch is sharded over the data axis (the
+    multiproc-DDP world of EEG-BarlowNetworks/train.py:71-99): jit inserts
+    the gradient psum, the batch-summed cross-correlation reduces globally
+    (the dist.all_reduce(c) at net.py:38), and BatchNorm statistics are
+    computed over the GLOBAL batch — SyncBN (train.py:89-90) — because the
+    batch mean/var contraction crosses the sharded axis.
+    """
     cfg = config
     n = len(images)
     niter = max(n // cfg.batch_size, 1)
+    if mesh is not None and cfg.batch_size % mesh.devices.size != 0:
+        # reference asserts batch divisibility too (train.py:129)
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.devices.size}"
+        )
 
     # 1) one-shot device spectrogram of the whole EEG corpus
     from cerebra.signal.spectro import melspectrogram
@@ -109,6 +123,24 @@ def barlow_train(
 
     step = jax.jit(step, donate_argnums=(0, 1, 2))
 
+    if mesh is not None:
+        from cerebra.parallel.mesh import data_sharding, replicated
+
+        params = jax.device_put(params, replicated(mesh))
+        batch_stats = jax.device_put(batch_stats, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+        y1_host, y2_host = np.asarray(y1_all), np.asarray(y2_all)
+
+        def get_batch(idx):
+            return (
+                jax.device_put(jnp.asarray(y1_host[idx]), data_sharding(mesh, 4)),
+                jax.device_put(jnp.asarray(y2_host[idx]), data_sharding(mesh, 4)),
+            )
+    else:
+
+        def get_batch(idx):
+            return y1_all[idx], y2_all[idx]
+
     history: Dict[str, List] = {"loss": [], "epoch_time_s": []}
     for epoch in range(cfg.epochs):
         t0 = time.perf_counter()
@@ -116,8 +148,9 @@ def barlow_train(
         batches = batches[:niter]
         losses = []
         for idx in batches:
+            y1_b, y2_b = get_batch(idx)
             params, batch_stats, opt_state, loss = step(
-                params, batch_stats, opt_state, y1_all[idx], y2_all[idx]
+                params, batch_stats, opt_state, y1_b, y2_b
             )
             losses.append(loss)
         loss = float(np.mean([float(l) for l in losses]))

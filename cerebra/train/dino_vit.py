@@ -114,12 +114,18 @@ def dino_vit_train(
     eeg: np.ndarray,  # (N, T, C)
     images: Optional[np.ndarray] = None,  # (N, H, W, 3) in [0,1]
     config: DinoVitConfig = DinoVitConfig(),
+    mesh=None,
     log_fn: Callable[[str], None] = print,
     checkpoint_cb: Optional[Callable[[int, DinoTrainState], None]] = None,
 ) -> Tuple[DinoTrainState, Dict[str, List]]:
+    """With a mesh, the global batch (= batch_size_per_device × n_devices)
+    is sharded over the data axis — the DDP world of dino/main_dino.py:225
+    with the grad all-reduce and the DINOLoss center all_reduce (:477) both
+    inserted by jit as psums over the sharded batch."""
     cfg = config
     n = len(eeg)
-    global_batch = cfg.batch_size_per_device
+    n_devices = 1 if mesh is None else mesh.devices.size
+    global_batch = cfg.batch_size_per_device * n_devices
     niter_per_ep = max(n // global_batch, 1)
 
     backbone = build_vit(cfg)
@@ -173,7 +179,24 @@ def dino_vit_train(
     )
 
     eeg = np.asarray(eeg, dtype=np.float32)
-    imgs = None if images is None else jnp.asarray(images, dtype=jnp.float32)
+    if mesh is not None:
+        from cerebra.parallel.mesh import data_sharding, replicated
+
+        state = jax.device_put(state, replicated(mesh))
+        imgs_host = None if images is None else np.asarray(images, dtype=np.float32)
+
+        def get_batch(idx):
+            eeg_b = jax.device_put(jnp.asarray(eeg[idx]), data_sharding(mesh, 3))
+            img_b = None if imgs_host is None else jax.device_put(
+                jnp.asarray(imgs_host[idx]), data_sharding(mesh, 4)
+            )
+            return eeg_b, img_b
+    else:
+        imgs = None if images is None else jnp.asarray(images, dtype=jnp.float32)
+
+        def get_batch(idx):
+            return jnp.asarray(eeg[idx]), (None if imgs is None else imgs[idx])
+
     history: Dict[str, List] = {"loss": [], "epoch_time_s": []}
     for epoch in range(cfg.epochs):
         t0 = time.perf_counter()
@@ -182,8 +205,7 @@ def dino_vit_train(
         losses = []
         for idx in batches:
             key, sub = jax.random.split(key)
-            batch_imgs = None if imgs is None else imgs[idx]
-            state, metrics = step(state, (jnp.asarray(eeg[idx]), batch_imgs), sub)
+            state, metrics = step(state, get_batch(idx), sub)
             losses.append(metrics["loss"])
         loss = float(np.mean([float(l) for l in losses]))
         history["loss"].append(loss)
