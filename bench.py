@@ -97,19 +97,25 @@ def measure_jax() -> float:
     return wps
 
 
-def measure_torch_baseline() -> float:
-    """Reference-style torch implementation of the same step (CPU)."""
+def measure_torch_baseline() -> dict:
+    """Reference-style torch implementation of the same step (CPU), measured
+    at BOTH the reference's batch 16 (LstmDistillFromDinoV2Train.py:163) and
+    the TPU batch 1024 so `vs_baseline` compares against torch's best
+    throughput, not its least favorable config."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        log(f"torch baseline (cached): {cached['windows_per_s']:.1f} windows/s")
-        return float(cached["windows_per_s"])
+        if "windows_per_s_b1024" in cached:
+            log(
+                f"torch baseline (cached): b16 {cached['windows_per_s']:.1f} w/s, "
+                f"b1024 {cached['windows_per_s_b1024']:.1f} w/s"
+            )
+            return cached
 
     import torch
     from scipy import signal as sps
 
     torch.manual_seed(0)
-    bt = 16  # the reference's batch size (LstmDistillFromDinoV2Train.py:163)
     sos = sps.butter(4, [14.0 / 500.0, 71.0 / 500.0], btype="bandpass", output="sos")
 
     class RefModel(torch.nn.Module):
@@ -124,42 +130,68 @@ def measure_torch_baseline() -> float:
             feats = torch.relu(self.fc(out[:, -1]))
             return feats, self.head(feats)
 
-    model = RefModel()
-    opt = torch.optim.RMSprop(model.parameters(), lr=1e-3)
-    rng = np.random.default_rng(0)
-    raw = rng.normal(size=(bt, C, T_RAW)).astype(np.float32)
-    teacher = torch.from_numpy(rng.normal(size=(bt, F)).astype(np.float32))
-    labels = torch.from_numpy(rng.integers(0, N_CLASSES, size=bt).astype(np.int64))
+    def measure(bt: int, n_steps: int) -> float:
+        model = RefModel()
+        opt = torch.optim.RMSprop(model.parameters(), lr=1e-3)
+        rng = np.random.default_rng(0)
+        raw = rng.normal(size=(bt, C, T_RAW)).astype(np.float32)
+        teacher = torch.from_numpy(rng.normal(size=(bt, F)).astype(np.float32))
+        labels = torch.from_numpy(rng.integers(0, N_CLASSES, size=bt).astype(np.int64))
 
-    def step():
-        filtered = sps.sosfiltfilt(sos, raw, axis=-1).astype(np.float32)
-        eeg = torch.from_numpy(np.swapaxes(filtered, 1, 2)[:, T_LO:T_HI, :].copy())
-        opt.zero_grad()
-        feats, cls = model(eeg)
-        t_soft = torch.nn.functional.softmax(teacher / 0.5, dim=-1)
-        s_soft = torch.nn.functional.softmax(feats / 0.5, dim=-1)
-        loss = 0.5 * torch.nn.functional.cross_entropy(cls, labels) + 0.5 * (
-            torch.nn.functional.cross_entropy(t_soft, s_soft)
-        )
-        loss.backward()
-        opt.step()
+        def step():
+            filtered = sps.sosfiltfilt(sos, raw, axis=-1).astype(np.float32)
+            eeg = torch.from_numpy(np.swapaxes(filtered, 1, 2)[:, T_LO:T_HI, :].copy())
+            opt.zero_grad()
+            feats, cls = model(eeg)
+            t_soft = torch.nn.functional.softmax(teacher / 0.5, dim=-1)
+            s_soft = torch.nn.functional.softmax(feats / 0.5, dim=-1)
+            loss = 0.5 * torch.nn.functional.cross_entropy(cls, labels) + 0.5 * (
+                torch.nn.functional.cross_entropy(t_soft, s_soft)
+            )
+            loss.backward()
+            opt.step()
 
-    step()  # warmup
-    n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        step()
-    dt = time.perf_counter() - t0
-    wps = n_steps * bt / dt
-    log(f"torch baseline: {n_steps} steps x {bt} windows in {dt:.3f}s -> {wps:.1f} windows/s")
+        step()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            step()
+        dt = time.perf_counter() - t0
+        wps = n_steps * bt / dt
+        log(f"torch baseline: {n_steps} steps x {bt} windows in {dt:.3f}s -> {wps:.1f} windows/s")
+        return wps
+
+    result = {
+        "windows_per_s": measure(16, 10),
+        "windows_per_s_b1024": measure(1024, 2),
+        "impl": "torch-cpu reference step (b16 = reference config, b1024 = TPU batch)",
+    }
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"windows_per_s": wps, "batch": bt, "impl": "torch-cpu reference step"}, f)
-    return wps
+        json.dump(result, f)
+    return result
+
+
+def flops_per_window() -> float:
+    """Analytic FLOPs per window for the benched step (fwd + bwd ≈ 3× fwd
+    for the matmul-dominated parts), used to report an MFU estimate."""
+    t_crop = T_HI - T_LO
+    filter_f = 2.0 * C * T_RAW * T_RAW  # banded zero-phase matmul (dense count)
+    # LSTM: per timestep per layer two (C→4C) matmuls (input + recurrent)
+    lstm_fwd = 2 * (2.0 * C * 4 * C) * t_crop * 2  # 2 layers
+    fc_fwd = 2.0 * C * F + 2.0 * F * N_CLASSES
+    fwd = lstm_fwd + fc_fwd
+    return filter_f + 3.0 * fwd  # bwd ≈ 2× fwd FLOPs on the matmuls
 
 
 def main():
-    baseline_wps = measure_torch_baseline()
+    baseline = measure_torch_baseline()
+    baseline_wps = max(baseline["windows_per_s"], baseline["windows_per_s_b1024"])
     jax_wps = measure_jax()
+    gf = flops_per_window() / 1e9
+    tflops = jax_wps * gf / 1e3
+    log(
+        f"estimated compute: {gf:.3f} GF/window -> {tflops:.1f} TFLOP/s "
+        f"(~{100 * tflops / 197:.1f}% of v5e bf16 peak)"
+    )
     print(
         json.dumps(
             {

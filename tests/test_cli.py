@@ -14,6 +14,7 @@ def workdir(tmp_path_factory):
     return tmp_path_factory.mktemp("cli")
 
 
+@pytest.mark.slow
 def test_train_then_eval_roundtrip(workdir):
     from cerebra.cli.lstm_distill_from_dinov2_train import main as train_main
     from cerebra.cli.lstm_distill_from_dinov2_eval import main as eval_main
@@ -41,6 +42,7 @@ def test_train_then_eval_roundtrip(workdir):
     assert len(scores["data"]) == 4  # one entry per class
 
 
+@pytest.mark.slow
 def test_dino_distillation_and_teacher_eval(workdir):
     from cerebra.cli.lstm_distillation import main as dino_main
     from cerebra.cli.lstm_distill_from_dinov2_eval import main as eval_main
@@ -77,6 +79,7 @@ def test_discover_channels_cli(workdir):
     assert out["selected_channels"] == result.selected
 
 
+@pytest.mark.slow
 def test_barlow_train_cli(workdir):
     from cerebra.cli.barlow_train import main
 
@@ -91,6 +94,7 @@ def test_barlow_train_cli(workdir):
     assert os.path.exists(os.path.join(log, "checkpoint_orbax"))
 
 
+@pytest.mark.slow
 def test_main_dino_cli(workdir):
     from cerebra.cli.main_dino import main
 
@@ -106,6 +110,7 @@ def test_main_dino_cli(workdir):
     assert os.path.exists(os.path.join(log, "log.txt"))
 
 
+@pytest.mark.slow
 def test_eeg_retrieval_dino_cli(workdir):
     from cerebra.cli.eeg_retrieval_dino import main
 
@@ -121,6 +126,7 @@ def test_eeg_retrieval_dino_cli(workdir):
     assert os.path.exists(os.path.join(log, "commandline_args.txt"))
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(workdir):
     """Two identical seeded runs produce identical losses — the reference
     only had fix_random_seeds; explicit PRNG keys make this exact."""

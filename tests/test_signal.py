@@ -24,6 +24,7 @@ from cerebra.signal import (
     z2_score_norm,
 )
 from cerebra.signal.filters import zero_phase_response
+from cerebra.signal.spectro import stft_magnitude
 
 
 def _sig(rng, shape=(3, 5, 400)):
@@ -135,13 +136,77 @@ def test_time_window():
     assert time_window(x, 20, 480).shape == (2, 460, 96)
 
 
-def test_mel_filterbank_matches_librosa_or_shape():
-    fb = mel_filterbank(sr=256.0, n_fft=256, n_mels=32)
+def test_mel_filterbank_analytic_golden_linear_regime():
+    """librosa-free golden for the Barlow case (sr=256, barlow_utils.py:53-60):
+    below 1 kHz the Slaney mel scale is exactly linear (mel = f/(200/3)), so
+    the filterbank is evenly spaced triangles with a closed form — computed
+    here independently in float64 and compared exactly."""
+    sr, n_fft, n_mels = 256.0, 256, 32
+    fb = mel_filterbank(sr=sr, n_fft=n_fft, n_mels=n_mels)
     assert fb.shape == (32, 129)
-    assert (fb >= 0).all() and fb.sum() > 0
-    librosa = pytest.importorskip("librosa")
-    want = librosa.filters.mel(sr=256.0, n_fft=256, n_mels=32)
-    np.testing.assert_allclose(fb, want, rtol=1e-4, atol=1e-6)
+    fft_freqs = np.linspace(0.0, sr / 2, 1 + n_fft // 2)
+    centers = np.linspace(0.0, sr / 2, n_mels + 2)  # linear mel ⇒ linear Hz
+    width = centers[1] - centers[0]
+    want = np.zeros((n_mels, fft_freqs.size))
+    for m in range(n_mels):
+        tri = 1.0 - np.abs(fft_freqs - centers[m + 1]) / width
+        want[m] = np.maximum(0.0, tri) * 2.0 / (centers[m + 2] - centers[m])
+    np.testing.assert_allclose(fb, want, rtol=1e-6, atol=1e-9)
+
+
+def test_mel_filterbank_log_regime_independent_construction():
+    """Above 1 kHz the Slaney scale is logarithmic; validate against an
+    independent mel-domain-interpolation construction (librosa's documented
+    algorithm built a different way) plus the Slaney-normalization invariant
+    (each filter integrates to ~1 over Hz)."""
+    sr, n_fft, n_mels = 8192.0, 2048, 40
+    fb = mel_filterbank(sr=sr, n_fft=n_fft, n_mels=n_mels).astype(np.float64)
+    fft_freqs = np.linspace(0.0, sr / 2, 1 + n_fft // 2)
+
+    def hz_to_mel(f):
+        f = np.asarray(f, dtype=np.float64)
+        lin = f / (200.0 / 3)
+        brk = 1000.0 / (200.0 / 3)
+        log = brk + np.log(np.maximum(f, 1e-12) / 1000.0) / (np.log(6.4) / 27.0)
+        return np.where(f >= 1000.0, log, lin)
+
+    def mel_to_hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        brk = 1000.0 / (200.0 / 3)
+        lin = m * (200.0 / 3)
+        log = 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - brk))
+        return np.where(m >= brk, log, lin)
+
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2), n_mels + 2))
+    want = np.zeros((n_mels, fft_freqs.size))
+    for m in range(n_mels):
+        lo, c, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (fft_freqs - lo) / (c - lo)
+        down = (hi - fft_freqs) / (hi - c)
+        want[m] = np.maximum(0.0, np.minimum(up, down)) * 2.0 / (hi - lo)
+    np.testing.assert_allclose(fb, want, rtol=1e-6, atol=1e-10)
+    # Slaney invariant: each triangle integrates to ≈1 in continuous Hz
+    # (trapezoid over the FFT grid is exact except for grid clipping)
+    areas = np.trapezoid(want, fft_freqs, axis=1)
+    assert (np.abs(areas[5:-1] - 1.0) < 0.05).all()
+
+
+def test_stft_matches_naive_dft():
+    """stft_magnitude vs a naive per-frame numpy DFT (reflect pad + Hann +
+    rfft power — librosa stft semantics, pinned without librosa)."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(257,)).astype(np.float32)
+    n_fft, hop = 64, 16
+    got = np.asarray(stft_magnitude(jnp.asarray(x), n_fft=n_fft, hop_length=hop))
+    pad = n_fft // 2
+    xp = np.pad(x.astype(np.float64), (pad, pad), mode="reflect")
+    win = np.hanning(n_fft + 1)[:-1]
+    n_frames = 1 + (x.size + 2 * pad - n_fft) // hop
+    want = np.empty((1 + n_fft // 2, n_frames))
+    for t in range(n_frames):
+        seg = xp[t * hop : t * hop + n_fft] * win
+        want[:, t] = np.abs(np.fft.rfft(seg)) ** 2
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_melspectrogram_shapes_and_energy(rng):
