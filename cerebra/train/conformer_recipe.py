@@ -1,0 +1,284 @@
+"""Conformer ExP trainer — the reference's self-contained BCI-IV recipe
+(utils/Conformer.py:222-417) rebuilt TPU-first.
+
+Parity with the reference ExP class:
+- BCI-IV 2a `.mat` ingest (`get_source_data`, :281-320): A0{n}T/A0{n}E files,
+  (time, electrode, trial) → (trial, 1, 22, 1000), labels 1..4 → 0..3,
+  standardization by the TRAIN set's global mean/std applied to both splits.
+- Segmentation-and-Reconstruction (S&R) augmentation (`interaug`, :254-281):
+  per class, new trials are stitched from 8 temporal segments of randomly
+  chosen same-class trials. The reference's per-sample Python loop becomes
+  ONE device gather + diagonal (no host work in the hot loop).
+- Train loop (:322-417):每 step the real batch is concatenated with one
+  augmented batch (so the effective batch doubles), Adam(lr 2e-4, betas
+  (0.5, 0.999)), cross-entropy on the model's 384-wide output against 4-class
+  labels — the reference head ignores its n_classes arg and CE over a
+  384-logit vector is its documented behavior (:197-205, :374), preserved.
+- Per-epoch test eval with best/average accuracy tracking and the
+  `log_subject{n}.txt` "epoch    acc" line format (:389-399).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cerebra.models.conformer import Conformer
+
+
+@dataclasses.dataclass
+class ExPConfig:
+    """Defaults from utils/Conformer.py:223-231."""
+
+    batch_size: int = 72
+    n_epochs: int = 2000
+    n_classes: int = 4
+    lr: float = 2e-4
+    b1: float = 0.5
+    b2: float = 0.999
+    n_segments: int = 8
+    emb_size: int = 40
+    depth: int = 6
+    out_features: int = 384
+    eval_every: int = 1
+    seed: int = 0
+    dtype: Any = None
+
+
+def load_bciiv_mat(root: str, subject: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """BCI-IV 2a ingest (utils/Conformer.py:281-320): returns standardized
+    (train_data (N,1,C,T), train_labels 0-based, test_data, test_labels)."""
+    import scipy.io as sio
+
+    def load(split):
+        mat = sio.loadmat(os.path.join(root, f"A0{subject}{split}.mat"))
+        data = np.transpose(mat["data"], (2, 1, 0))[:, None]  # (N, 1, C, T)
+        labels = np.transpose(mat["label"])[0].astype(np.int64) - 1
+        return data.astype(np.float32), labels
+
+    train_data, train_labels = load("T")
+    test_data, test_labels = load("E")
+    mean, std = train_data.mean(), train_data.std()  # train stats for BOTH
+    return (
+        (train_data - mean) / std, train_labels,
+        (test_data - mean) / std, test_labels,
+    )
+
+
+def make_synthetic_bciiv(
+    seed: int = 0, n_per_class: int = 36, n_classes: int = 4,
+    n_channels: int = 22, n_samples: int = 1000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-coded sinusoid + noise in the BCI-IV shape (the synthetic-EEG
+    fake-backend pattern, utils/GenerateRandomEEGNoise.py)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples) / 250.0
+    data, labels = [], []
+    for c in range(n_classes):
+        carrier = np.sin(2 * np.pi * (6.0 + 4.0 * c) * t)
+        chan_gain = rng.normal(size=(n_channels, 1)) * 0.5 + 1.0
+        for _ in range(n_per_class):
+            x = 1.5 * chan_gain * carrier + rng.normal(size=(n_channels, n_samples))
+            data.append(x[None].astype(np.float32))
+            labels.append(c)
+    data = np.stack(data)  # (N, 1, C, T)
+    labels = np.asarray(labels, dtype=np.int64)
+    perm = rng.permutation(len(data))
+    return data[perm], labels[perm]
+
+
+def make_interaug(
+    data: np.ndarray,  # (N, 1, C, T)
+    labels: np.ndarray,  # (N,)
+    n_classes: int,
+    n_per_class_out: int,
+    n_segments: int = 8,
+):
+    """Build a jitted S&R augmentation fn(key) → (aug_data, aug_labels).
+
+    The reference's triple loop (utils/Conformer.py:254-281) is replaced by
+    one vectorized gather: sample, per (class, output trial, segment), a
+    same-class source trial; gather all candidates; take the diagonal over
+    the (sampled-trial, segment) axes. Runs on device every step.
+    """
+    N, _, C, T = data.shape
+    seg_len = T // n_segments
+    assert T % n_segments == 0, (T, n_segments)
+    counts = np.zeros((n_classes,), dtype=np.int32)
+    max_count = int(max(np.bincount(labels, minlength=n_classes)))
+    table = np.zeros((n_classes, max_count), dtype=np.int32)
+    for c in range(n_classes):
+        idx = np.where(labels == c)[0]
+        if len(idx) == 0:
+            raise ValueError(f"class {c} has no trials for S&R augmentation")
+        counts[c] = len(idx)
+        table[c, : len(idx)] = idx
+        table[c, len(idx):] = idx[0]  # padding never sampled (maxval=count)
+    data_d = jnp.asarray(data)
+    table_d = jnp.asarray(table)
+    counts_d = jnp.asarray(counts)
+    aug_labels = jnp.repeat(jnp.arange(n_classes, dtype=jnp.int32), n_per_class_out)
+
+    def interaug(key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        k_idx, k_shuf = jax.random.split(key)
+        idx = jax.random.randint(
+            k_idx, (n_classes, n_per_class_out, n_segments),
+            0, counts_d[:, None, None],
+        )
+        src = table_d[jnp.arange(n_classes)[:, None, None], idx]  # trial ids
+        trials = data_d[src]  # (cls, out, seg, 1, C, T)
+        segs = trials.reshape(
+            n_classes, n_per_class_out, n_segments, 1, C, n_segments, seg_len
+        )
+        # segment j of output comes from the j-th sampled trial: diagonal
+        # over (sampled-trial axis 2, segment axis 5)
+        picked = jnp.diagonal(segs, axis1=2, axis2=5)  # (cls, out, 1, C, seg_len, seg)
+        picked = jnp.moveaxis(picked, -1, -2)  # (cls, out, 1, C, seg, seg_len)
+        aug = picked.reshape(n_classes * n_per_class_out, 1, C, T)
+        perm = jax.random.permutation(k_shuf, aug.shape[0])
+        return aug[perm], aug_labels[perm]
+
+    return interaug
+
+
+def conformer_exp_train(
+    train_data: np.ndarray,
+    train_labels: np.ndarray,
+    test_data: np.ndarray,
+    test_labels: np.ndarray,
+    config: ExPConfig = ExPConfig(),
+    mesh=None,
+    log_fn: Callable[[str], None] = print,
+    log_write_path: Optional[str] = None,
+) -> Tuple[dict, Dict[str, List]]:
+    """The ExP.train() loop (utils/Conformer.py:322-417).
+    Returns ({'params','batch_stats'}, history with best/average accuracy)."""
+    cfg = config
+    n = len(train_data)
+    model = Conformer(
+        emb_size=cfg.emb_size, depth=cfg.depth, out_features=cfg.out_features,
+        dtype=cfg.dtype,
+    )
+    key = jax.random.key(cfg.seed)
+    k_init, k_drop, key = jax.random.split(key, 3)
+    variables = model.init(
+        {"params": k_init, "dropout": k_drop}, jnp.asarray(train_data[:1]), train=False
+    )
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
+    opt_state = tx.init(params)
+
+    n_aug_per_class = max(cfg.batch_size // cfg.n_classes, 1)
+    interaug = make_interaug(
+        train_data, train_labels, cfg.n_classes, n_aug_per_class, cfg.n_segments
+    )
+
+    def step(params, batch_stats, opt_state, x, y, drop_key):
+        def loss_fn(p):
+            (flat, out), updates = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                rngs={"dropout": drop_key}, mutable=["batch_stats"],
+            )
+            # reference quirk preserved: CE over the full 384-wide output
+            # with labels 0..3 (utils/Conformer.py:205,374)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                out.astype(jnp.float32), y
+            ).mean()
+            return loss, (updates["batch_stats"], out)
+
+        (loss, (new_stats, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss, out
+
+    step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    @jax.jit
+    def evaluate(params, batch_stats, x, y):
+        flat, out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            out.astype(jnp.float32), y
+        ).mean()
+        pred = jnp.argmax(out, axis=-1)
+        return loss, jnp.mean((pred == y).astype(jnp.float32)), pred
+
+    train_data_d = jnp.asarray(train_data)
+    train_labels_d = jnp.asarray(train_labels.astype(np.int32))
+    test_x = jnp.asarray(test_data)
+    test_y = jnp.asarray(test_labels.astype(np.int32))
+
+    if mesh is not None:
+        from cerebra.parallel.mesh import data_sharding, replicated
+
+        params = jax.device_put(params, replicated(mesh))
+        batch_stats = jax.device_put(batch_stats, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+
+    def put_batch(x, y):
+        if mesh is None:
+            return x, y
+        from cerebra.parallel.mesh import data_sharding
+
+        return (
+            jax.device_put(x, data_sharding(mesh, 4)),
+            jax.device_put(y, data_sharding(mesh, 1)),
+        )
+
+    log_file = open(log_write_path, "w") if log_write_path else None
+    history: Dict[str, List] = {"train_loss": [], "test_acc": [], "test_loss": [],
+                                "epoch_time_s": []}
+    best_acc, aver_acc, n_evals = 0.0, 0.0, 0
+    best_pred = None
+    niter = max(n // cfg.batch_size, 1)
+
+    for epoch in range(cfg.n_epochs):
+        t0 = time.perf_counter()
+        order = np.random.default_rng((cfg.seed, epoch)).permutation(n)[: niter * cfg.batch_size]
+        loss = None
+        for it, idx in enumerate(order.reshape(niter, cfg.batch_size)):
+            key, k_aug, k_drop = jax.random.split(key, 3)
+            aug_x, aug_y = interaug(k_aug)
+            x = jnp.concatenate([train_data_d[idx], aug_x])
+            y = jnp.concatenate([train_labels_d[idx], aug_y])
+            x, y = put_batch(x, y)
+            params, batch_stats, opt_state, loss, _ = step(
+                params, batch_stats, opt_state, x, y, k_drop
+            )
+        history["train_loss"].append(float(loss))
+        history["epoch_time_s"].append(time.perf_counter() - t0)
+
+        if (epoch + 1) % cfg.eval_every == 0:
+            test_loss, acc, pred = evaluate(params, batch_stats, test_x, test_y)
+            acc = float(acc)
+            history["test_acc"].append((epoch, acc))
+            history["test_loss"].append((epoch, float(test_loss)))
+            n_evals += 1
+            aver_acc += acc
+            if acc > best_acc:
+                best_acc, best_pred = acc, np.asarray(pred)
+            log_fn(
+                f"Epoch: {epoch}  Train loss: {float(loss):.6f}  "
+                f"Test loss: {float(test_loss):.6f}  Test accuracy is {acc:.6f}"
+            )
+            if log_file:
+                log_file.write(f"{epoch}    {acc}\n")
+
+    aver_acc = aver_acc / max(n_evals, 1)
+    history["best_acc"] = [best_acc]
+    history["aver_acc"] = [aver_acc]
+    history["best_pred"] = [best_pred]
+    log_fn(f"The average accuracy is: {aver_acc}")
+    log_fn(f"The best accuracy is: {best_acc}")
+    if log_file:
+        log_file.write(f"The average accuracy is: {aver_acc}\n")
+        log_file.write(f"The best accuracy is: {best_acc}\n")
+        log_file.close()
+    return {"params": params, "batch_stats": batch_stats}, history
