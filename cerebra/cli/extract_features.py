@@ -7,6 +7,10 @@ point every trainer at it with --features_cache.
 
 Teachers (zero-egress environment — all local):
   --teacher dino_ckpt   — our ViT with a local DINO .pth checkpoint
+  --teacher dinov2_jax  — pure-JAX DINOv2 ViT-S/14 from a local torch state
+                          dict (the dinov2_vits14 layout) — no torch in the
+                          forward path (LstmDistillFromDinoV2Train.py:144-146
+                          parity)
   --teacher transformers— a local HF DINOv2 (requires pre-downloaded weights)
   --teacher random_vit  — random-init ViT (smoke tests / ablation control)
 """
@@ -25,7 +29,7 @@ from cerebra.models.dino_model import DinoArgs, DinoModel
 def main(argv=None):
     parser = reference_argparser("Teacher feature-cache extraction")
     parser.add_argument("--teacher", type=str, default="random_vit",
-                        choices=["dino_ckpt", "transformers", "random_vit"])
+                        choices=["dino_ckpt", "dinov2_jax", "transformers", "random_vit"])
     parser.add_argument("--teacher_weights", type=str, default="")
     parser.add_argument("--arch", type=str, default="vit_small")
     parser.add_argument("--patch_size", type=int, default=8)
@@ -53,6 +57,32 @@ def main(argv=None):
             return out.last_hidden_state[:, 0].numpy()
 
         feats = extract_features(source, model_fn, image_size=FLAGS.image_size)
+    elif FLAGS.teacher == "dinov2_jax":
+        import jax
+
+        from cerebra.models.vit import import_dinov2_vit_torch, vit_small_dinov2
+
+        if FLAGS.teacher_weights.endswith((".npz", ".npy")):
+            sd = dict(np.load(FLAGS.teacher_weights))
+        else:
+            import torch
+
+            obj = torch.load(FLAGS.teacher_weights, map_location="cpu", weights_only=False)
+            sd = obj.get("teacher", obj.get("model", obj)) if isinstance(obj, dict) else obj
+            sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+        import jax.numpy as jnp
+
+        from cerebra.models.dino_model import dino_image_transform
+
+        model = vit_small_dinov2()
+        variables = import_dinov2_vit_torch(sd)
+        probe = jax.jit(lambda x: model.apply(variables, x))
+        feats = extract_features(
+            source,
+            lambda batch: np.asarray(probe(jnp.asarray(batch))),
+            preprocess=lambda img: dino_image_transform(img, FLAGS.image_size),
+            image_size=FLAGS.image_size,
+        )
     else:
         args = DinoArgs(arch=FLAGS.arch, patch_size=FLAGS.patch_size,
                         image_size=FLAGS.image_size, use_head=False)

@@ -22,6 +22,22 @@ from cerebra.signal.image_aug import IMAGENET_MEAN, IMAGENET_STD
 from cerebra.signal.windows import tile_eeg_to_image
 
 
+def dino_image_transform(image: np.ndarray, image_size: int = 224) -> np.ndarray:
+    """Resize-256 → center-crop → ImageNet-normalize (utils/DinoModel.py:83-88
+    and the torch.hub DINOv2 default transform), NHWC numpy — standalone so
+    feature extraction doesn't need to build a model for preprocessing."""
+    img = jnp.asarray(image, dtype=jnp.float32)
+    if img.max() > 2.0:
+        img = img / 255.0
+    H, W = img.shape[:2]
+    scale = 256.0 / min(H, W)
+    img = jax.image.resize(img, (int(H * scale), int(W * scale), 3), "bilinear")
+    top = (img.shape[0] - image_size) // 2
+    left = (img.shape[1] - image_size) // 2
+    img = img[top : top + image_size, left : left + image_size]
+    return np.asarray((img - IMAGENET_MEAN) / IMAGENET_STD)
+
+
 @dataclasses.dataclass
 class DinoArgs:
     """dino_args defaults (utils/DinoModel.py:11-34)."""
@@ -73,17 +89,7 @@ class DinoModel:
     def dinov1_transform(self, image: np.ndarray) -> np.ndarray:
         """Resize-256 → center-crop-224 → ImageNet-normalize
         (utils/DinoModel.py:83-88), NHWC numpy."""
-        img = jnp.asarray(image, dtype=jnp.float32)
-        if img.max() > 2.0:
-            img = img / 255.0
-        H, W = img.shape[:2]
-        scale = 256.0 / min(H, W)
-        img = jax.image.resize(img, (int(H * scale), int(W * scale), 3), "bilinear")
-        S = self.args.image_size
-        top = (img.shape[0] - S) // 2
-        left = (img.shape[1] - S) // 2
-        img = img[top : top + S, left : left + S]
-        return np.asarray((img - IMAGENET_MEAN) / IMAGENET_STD)
+        return dino_image_transform(image, self.args.image_size)
 
     def features_from_eeg(self, key: jax.Array, eeg: jax.Array) -> jax.Array:
         """EEG (B, T, C) → tiled EEG-images → DINO features

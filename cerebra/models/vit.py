@@ -64,6 +64,10 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    # LayerScale (DINOv2 blocks): learned per-channel gamma on each residual
+    # branch, init 1e-5. Absent in DINO v1 (dino/vision_transformer.py:95-132).
+    layer_scale: bool = False
+    layer_scale_init: float = 1e-5
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -75,11 +79,19 @@ class Block(nn.Module):
         )
         if return_attention:
             return attn
+        if self.layer_scale:
+            y = y * self.param(
+                "ls1_gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
+            )
         x = x + self._drop_path(y, train)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default (exact erf)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        if self.layer_scale:
+            h = h * self.param(
+                "ls2_gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
+            )
         return x + self._drop_path(h, train)
 
     def _drop_path(self, x: jax.Array, train: bool) -> jax.Array:
@@ -99,6 +111,7 @@ class VisionTransformer(nn.Module):
     num_heads: int = 6
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
+    layer_scale: bool = False  # True = DINOv2-style blocks
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -133,7 +146,7 @@ class VisionTransformer(nn.Module):
         for i in range(self.depth):
             block = Block(
                 self.embed_dim, self.num_heads, self.mlp_ratio, float(dpr[i]),
-                dtype=self.dtype, name=f"block_{i}",
+                layer_scale=self.layer_scale, dtype=self.dtype, name=f"block_{i}",
             )
             if return_attention_of_last_block and i == self.depth - 1:
                 return block(tokens, train=train, return_attention=True)
@@ -174,6 +187,17 @@ def vit_base(patch_size: int = 16, **kw) -> VisionTransformer:
     return VisionTransformer(patch_size=patch_size, embed_dim=768, depth=12, num_heads=12, **kw)
 
 
+def vit_small_dinov2(img_size: int = 518, **kw) -> VisionTransformer:
+    """DINOv2 ViT-S/14 (the reference's frozen teacher,
+    LstmDistillFromDinoV2Train.py:144-146: torch.hub dinov2_vits14): patch 14,
+    LayerScale blocks, 37×37 pos grid at the 518-px training size — off-grid
+    inputs (e.g. 224) go through pos-embed interpolation like upstream."""
+    return VisionTransformer(
+        img_size=img_size, patch_size=14, embed_dim=384, depth=12, num_heads=6,
+        layer_scale=True, **kw,
+    )
+
+
 def import_dino_vit_torch(state_dict, depth: int = 12) -> dict:
     """torch DINO ViT state dict → flax params for VisionTransformer.
 
@@ -205,6 +229,47 @@ def import_dino_vit_torch(state_dict, depth: int = 12) -> dict:
             },
             "mlp_fc1": {"kernel": sd[b + "mlp.fc1.weight"].T, "bias": sd[b + "mlp.fc1.bias"]},
             "mlp_fc2": {"kernel": sd[b + "mlp.fc2.weight"].T, "bias": sd[b + "mlp.fc2.bias"]},
+        }
+    p["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
+    return {"params": p}
+
+
+def import_dinov2_vit_torch(state_dict, depth: int = 12) -> dict:
+    """DINOv2 torch state dict (the torch.hub dinov2_vits14 layout) → flax
+    params for a layer_scale VisionTransformer (vit_small_dinov2).
+
+    Layout differences from DINO v1: LayerScale gammas `blocks.{i}.ls{1,2}.gamma`
+    and an inference-unused `mask_token` (skipped). Keys may carry `module./
+    backbone./teacher.` prefixes (same stripping as utils/DinoModel.py:60-78).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        for pref in ("module.", "teacher.", "backbone."):
+            if k.startswith(pref):
+                k = k[len(pref):]
+        sd[k] = np.asarray(v, dtype=np.float32)
+
+    p: dict = {}
+    p["cls_token"] = sd["cls_token"]
+    p["pos_embed"] = sd["pos_embed"]
+    w = sd["patch_embed.proj.weight"]  # (D, 3, P, P) → HWIO
+    p["patch_embed"] = {
+        "kernel": np.transpose(w, (2, 3, 1, 0)),
+        "bias": sd["patch_embed.proj.bias"],
+    }
+    for i in range(depth):
+        b = f"blocks.{i}."
+        p[f"block_{i}"] = {
+            "norm1": {"scale": sd[b + "norm1.weight"], "bias": sd[b + "norm1.bias"]},
+            "norm2": {"scale": sd[b + "norm2.weight"], "bias": sd[b + "norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": sd[b + "attn.qkv.weight"].T, "bias": sd[b + "attn.qkv.bias"]},
+                "proj": {"kernel": sd[b + "attn.proj.weight"].T, "bias": sd[b + "attn.proj.bias"]},
+            },
+            "mlp_fc1": {"kernel": sd[b + "mlp.fc1.weight"].T, "bias": sd[b + "mlp.fc1.bias"]},
+            "mlp_fc2": {"kernel": sd[b + "mlp.fc2.weight"].T, "bias": sd[b + "mlp.fc2.bias"]},
+            "ls1_gamma": sd[b + "ls1.gamma"],
+            "ls2_gamma": sd[b + "ls2.gamma"],
         }
     p["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
     return {"params": p}
