@@ -45,6 +45,10 @@ def reference_argparser(description: str) -> argparse.ArgumentParser:
                    help="run on the synthetic-EEG fake backend (no data files)")
     p.add_argument("--synthetic_classes", type=int, default=8)
     p.add_argument("--synthetic_per_class", type=int, default=12)
+    p.add_argument("--synthetic_channels", type=int, default=96,
+                   help="96 = Perils rig, 128 = Spampinato rig")
+    p.add_argument("--synthetic_samples", type=int, default=512,
+                   help="512 = Perils, 500 = Spampinato")
     p.add_argument("--features_cache", type=str, default="",
                    help="precomputed teacher features (.npy/.npz/.pth) aligned to the corpus")
     p.add_argument("--feature_dim", type=int, default=384)
@@ -123,8 +127,8 @@ def load_corpus(FLAGS, subset=None, subject=None) -> EEGCorpus:
             seed=FLAGS.seed,
             n_per_class=FLAGS.synthetic_per_class,
             n_classes=FLAGS.synthetic_classes,
-            n_channels=96,
-            n_samples=512,
+            n_channels=getattr(FLAGS, "synthetic_channels", 96),
+            n_samples=getattr(FLAGS, "synthetic_samples", 512),
             feature_dim=FLAGS.feature_dim,
             class_signal_scale=1.5,
         )

@@ -53,16 +53,48 @@ def main(argv=None):
             n_classes=corpus.catalog.n_classes,
         )
         dt = time.perf_counter() - t0
+        names = _channel_names(FLAGS, corpus.n_channels)
         order = np.argsort(res.best_recall)[::-1]
         print(f"best-window sweep ({corpus.n_channels} ch × width {FLAGS.window_width}) in {dt:.2f}s")
-        for ch in order[:10]:
-            print(f"  ch{ch}: best ts {res.best_start[ch]}_{res.best_start[ch]+FLAGS.window_width}"
-                  f" recall {res.best_recall[ch]:.3f}")
+        # the reference's logged-number format, one line per channel
+        # (TestRetrieval_DiscoverChannels.py:141-154):
+        #   MasterFixedChannels = [33] # AF3 #best ts 167_168  with Scores: {...}
+        log_lines = []
+        for ch in order:
+            name = names[ch] if names else f"ch{ch}"
+            s, e = int(res.best_start[ch]), int(res.best_start[ch]) + FLAGS.window_width
+            line = (
+                f"MasterFixedChannels = [{ch}] # {name} #best ts {s}_{e}  with Scores: "
+                f"{{'Recall': {float(res.best_recall[ch])}, "
+                f"'Precision': {float(res.best_precision[ch])}}}"
+            )
+            log_lines.append(line)
+        for line in log_lines[:10]:
+            print("  " + line)
+        with open(os.path.join(FLAGS.log_dir, "best_window_log.txt"), "w") as f:
+            f.write("\n".join(log_lines) + "\n")
         with open(os.path.join(FLAGS.log_dir, "best_window_sweep.json"), "w") as f:
             json.dump({"best_start": res.best_start.tolist(),
                        "best_recall": res.best_recall.tolist(),
+                       "best_precision": res.best_precision.tolist(),
+                       "channel_names": names,
                        "elapsed_s": dt}, f, indent=2)
         return res
+    t0 = time.perf_counter()
+    result = greedy_channel_discovery_entry(FLAGS, corpus, eeg, train_idx, test_idx)
+    return result
+
+
+def _channel_names(FLAGS, n_channels):
+    if not FLAGS.channel_map:
+        return None
+    if FLAGS.channel_map.endswith("perils_channel_map.txt"):
+        return read_channel_list(FLAGS.channel_map)
+    cm = read_channel_map(FLAGS.channel_map)
+    return [cm.get(i + 1, str(i)) for i in range(n_channels)]
+
+
+def greedy_channel_discovery_entry(FLAGS, corpus, eeg, train_idx, test_idx):
     t0 = time.perf_counter()
     result = greedy_channel_discovery(
         eeg[train_idx], eeg[test_idx],
@@ -72,15 +104,7 @@ def main(argv=None):
         max_channels=FLAGS.max_channels or None,
     )
     dt = time.perf_counter() - t0
-
-    names = None
-    if FLAGS.channel_map:
-        if FLAGS.channel_map.endswith("perils_channel_map.txt"):
-            names = read_channel_list(FLAGS.channel_map)
-        else:
-            cm = read_channel_map(FLAGS.channel_map)
-            names = [cm.get(i + 1, str(i)) for i in range(corpus.n_channels)]
-
+    names = _channel_names(FLAGS, corpus.n_channels)
     print(f"greedy sweep over {corpus.n_channels} channels in {dt:.2f}s")
     for rank, (ch, rec) in enumerate(zip(result.selected, result.recalls)):
         label = names[ch] if names else f"ch{ch}"

@@ -43,6 +43,39 @@ def per_channel_distances(gallery: jax.Array, query: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_classes"))
+def recall_precision_for_distances(
+    d: jax.Array,  # (..., Nq, Ng)
+    gallery_labels: jax.Array,  # (Ng,)
+    query_labels: jax.Array,  # (Nq,)
+    k: int,
+    n_classes: int,
+):
+    """Macro per-class (recall, precision) for a batch of distance matrices,
+    with the reference's semantics (utils/Utilities.py:107-164): TP = any
+    same-class neighbor in the top k; classIntanceRetrival accumulates the
+    same-class count only on TP queries; per-class values rounded to 2
+    decimals BEFORE macro-averaging. Returns ((...,), (...,))."""
+    _, idx = jax.lax.top_k(-d, k)  # (..., Nq, k)
+    neigh = gallery_labels[idx]
+    same = neigh == query_labels[..., :, None]  # (..., Nq, k)
+    tp = jnp.any(same, axis=-1).astype(jnp.float32)
+    # same-class retrieval count, only credited when the query is a TP
+    # (utils/Utilities.py:128-133)
+    cir = jnp.sum(same, axis=-1).astype(jnp.float32) * tp
+    onehot = jax.nn.one_hot(query_labels, n_classes, dtype=jnp.float32)  # (Nq, n_classes)
+    counts = jnp.sum(onehot, axis=0)  # (n_classes,)
+    tp_per_class = jnp.einsum("...q,qc->...c", tp, onehot)
+    cir_per_class = jnp.einsum("...q,qc->...c", cir, onehot)
+    present = counts > 0
+    n_present = jnp.sum(present)
+    recall_c = jnp.round(tp_per_class * 100.0 / jnp.maximum(counts, 1.0) * 100.0) / 100.0
+    prec_c = jnp.round(cir_per_class * 100.0 / jnp.maximum(counts * k, 1.0) * 100.0) / 100.0
+    recall = jnp.sum(jnp.where(present, recall_c, 0.0), axis=-1) / n_present
+    precision = jnp.sum(jnp.where(present, prec_c, 0.0), axis=-1) / n_present
+    return recall, precision
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_classes"))
 def recall_for_distances(
     d: jax.Array,  # (..., Nq, Ng)
     gallery_labels: jax.Array,  # (Ng,)
@@ -53,15 +86,8 @@ def recall_for_distances(
     """Macro per-class recall (reference rounding: per-class values rounded
     to 2 decimals before averaging, utils/Utilities.py:155-164) for a batch
     of distance matrices. Returns (...,) recalls."""
-    _, idx = jax.lax.top_k(-d, k)  # (..., Nq, k)
-    neigh = gallery_labels[idx]
-    tp = jnp.any(neigh == query_labels[..., :, None], axis=-1).astype(jnp.float32)
-    onehot = jax.nn.one_hot(query_labels, n_classes, dtype=jnp.float32)  # (Nq, n_classes)
-    counts = jnp.sum(onehot, axis=0)  # (n_classes,)
-    tp_per_class = jnp.einsum("...q,qc->...c", tp, onehot)
-    present = counts > 0
-    recall_c = jnp.round(tp_per_class * 100.0 / jnp.maximum(counts, 1.0) * 100.0) / 100.0
-    return jnp.sum(jnp.where(present, recall_c, 0.0), axis=-1) / jnp.sum(present)
+    recall, _ = recall_precision_for_distances(d, gallery_labels, query_labels, k, n_classes)
+    return recall
 
 
 @dataclasses.dataclass
@@ -76,6 +102,8 @@ class WindowSweepResult:
     recalls: np.ndarray  # (C, n_windows)
     best_start: np.ndarray  # (C,) argmax window start per channel
     best_recall: np.ndarray  # (C,)
+    precisions: Optional[np.ndarray] = None  # (C, n_windows)
+    best_precision: Optional[np.ndarray] = None  # (C,) precision AT the best-recall window
 
 
 def best_window_sweep(
@@ -115,18 +143,23 @@ def best_window_sweep(
             [jnp.zeros((1,) + dt.shape[1:], dt.dtype), jnp.cumsum(dt, axis=0)], axis=0
         )
         d_windows = cums[starts_d + width] - cums[starts_d]  # (S, Nq, Ng)
-        return recall_for_distances(d_windows, g_lab, q_lab, top_k, n_classes)
+        return recall_precision_for_distances(d_windows, g_lab, q_lab, top_k, n_classes)
 
     recalls = np.empty((C, len(starts)), dtype=np.float32)
+    precisions = np.empty((C, len(starts)), dtype=np.float32)
     g_d = jnp.asarray(gallery, dtype=jnp.float32)
     q_d = jnp.asarray(query, dtype=jnp.float32)
     for c in range(C):
-        recalls[c] = np.asarray(sweep_channel(g_d[:, :, c], q_d[:, :, c]))
+        r, p = sweep_channel(g_d[:, :, c], q_d[:, :, c])
+        recalls[c] = np.asarray(r)
+        precisions[c] = np.asarray(p)
     best_idx = recalls.argmax(axis=1)
     return WindowSweepResult(
         recalls=recalls,
         best_start=starts[best_idx],
         best_recall=recalls[np.arange(C), best_idx],
+        precisions=precisions,
+        best_precision=precisions[np.arange(C), best_idx],
     )
 
 

@@ -3,6 +3,7 @@ IndexFlatL2 golden), reference scoring semantics, vectorized channel sweep vs
 a naive greedy reimplementation."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cerebra.data import make_synthetic_corpus
@@ -186,3 +187,49 @@ def test_best_window_sweep_matches_naive(rng):
                     for cl in range(3) if (ql == cl).any()]
             want = float(np.mean(recs))
             assert abs(res.recalls[c, s] - want) < 0.02, (c, s)
+
+
+def test_precision_for_distances_matches_evaluate(rng):
+    """recall_precision_for_distances (the sweep's vectorized metric) agrees
+    with the scores.evaluate protocol (the reference formula) on the same
+    feature matrix."""
+    import jax.numpy as jnp
+
+    from cerebra.data.schema import LabelCatalog
+    from cerebra.eval.channel_discovery import recall_precision_for_distances
+    from cerebra.eval.scores import evaluate
+
+    g = rng.normal(size=(40, 6)).astype(np.float32)
+    q = rng.normal(size=(15, 6)).astype(np.float32)
+    gl = np.repeat(np.arange(4), 10)
+    ql = rng.integers(0, 4, size=15)
+    cat = LabelCatalog(wnids=tuple("abcd"), class_names=tuple("abcd"),
+                       imagenet_class_ids=tuple("abcd"))
+    want_r, want_p, _ = evaluate(g, q, gl, ql, cat, top_k=5)
+    d = (
+        np.sum(q**2, 1)[:, None] - 2 * q @ g.T + np.sum(g**2, 1)[None]
+    ).astype(np.float32)
+    got_r, got_p = recall_precision_for_distances(
+        jnp.asarray(d), jnp.asarray(gl), jnp.asarray(ql), 5, 4
+    )
+    assert float(got_r) == pytest.approx(want_r, abs=1e-4)
+    assert float(got_p) == pytest.approx(want_p, abs=1e-4)
+
+
+def test_best_window_log_format(tmp_path):
+    """The sweep CLI emits the reference's logged-number line format
+    (TestRetrieval_DiscoverChannels.py:141-154) with channel names."""
+    import re
+
+    from cerebra.cli.discover_channels import main
+
+    main(["--synthetic", "--synthetic_classes", "3", "--synthetic_per_class", "5",
+          "--synthetic_channels", "8", "--synthetic_samples", "64",
+          "--time_low", "0", "--time_high", "64", "--best_window_sweep",
+          "--log_dir", str(tmp_path)])
+    lines = (tmp_path / "best_window_log.txt").read_text().strip().splitlines()
+    assert len(lines) == 8
+    pat = (r"MasterFixedChannels = \[\d+\] # \S+ #best ts \d+_\d+  with Scores: "
+           r"\{'Recall': [\d.]+, 'Precision': [\d.]+\}")
+    for line in lines:
+        assert re.fullmatch(pat, line), line
