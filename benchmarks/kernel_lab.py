@@ -166,4 +166,7 @@ if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)
     for name in names:
-        EXPS[name]()
+        try:
+            EXPS[name]()
+        except Exception as e:
+            print(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)

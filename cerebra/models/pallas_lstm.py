@@ -14,14 +14,30 @@ pallas_call:
 - the input projections x_proj = x @ w_ih + b for ALL timesteps are computed
   OUTSIDE by one big XLA matmul (MXU-optimal), streamed in per-step blocks.
 
-The backward pass is a mirrored kernel over reversed time computing
-dx_proj / dw_hh / dh accumulation in VMEM, wired via jax.custom_vjp, with
-h_all/c_all saved as residuals (gates recomputed from x_proj + h_prev @ w_hh
-— one extra MXU matmul instead of a (T, B, 4H) activation save).
+Backward design (v5e measurements drove this): the naive reverse-time kernel
+recomputes gates every step (one MXU matmul + 4 transcendentals) and was
+VPU-bound at ~25 µs/step f32 — 4-8× the forward's cost. Instead the training
+forward saves the six DERIVATIVE PREFACTORS the backward actually needs,
+
+    p_i = g·i(1-i)         p_f = c_prev·f(1-f)     p_g = i(1-g²)
+    p_o = tanh(c)·o(1-o)   q   = o(1-tanh²c)       f,
+
+the same 6H of per-step stream bandwidth the recompute design already paid
+(4H gates + 2H cell pair), so the backward reduces to ~8 cheap VPU ops and
+one MXU matmul per step — ZERO transcendentals, zero recompute:
+
+    dh = dh_accum + g_up        dc = dc_accum + dh·q
+    dgates = [dc·p_i, dc·p_f, dc·p_g, dh·p_o]
+    dh_accum = dgates @ w_hhᵀ   dc_accum = dc·f
+
+dW_hh = Σ_t h_{t-1}ᵀ dgates_t factors into ONE big XLA matmul over the
+emitted dgates stream. The inference/teacher forward is a separate
+pallas_call that emits h_all only (no residual streams).
 
 Gate order [i, f, g, o] (torch convention) matching cerebra.models.lstm.
-Measured (v5e-1, B=1024, T=460, H=96, 2 layers, fwd+bwd+sgd):
-54.6k windows/s vs 31.4k for the lax.scan step.
+Measured (v5e-1, B=1024, T=460, H=96): fwd+bwd 5.1 ms bf16 / 8.2 ms f32 per
+layer vs 7.1 / 12.9 ms for the recompute design; full 2-layer train step
+52.9k -> 67.9k windows/s.
 """
 
 from __future__ import annotations
@@ -41,20 +57,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_tile(B: int, tile: int, H: int = 96) -> int:
-    """Largest divisor of B not above `tile`, capped so the backward kernel's
-    per-step blocks + full-batch carry scratch stay inside the ~16 MB VMEM
-    budget (measured: Bt=1024 @ H=128, B=4096 overflows by ~1 MB)."""
-    # rough VMEM model: double-buffered streams ≈ 112·H bytes/row + 8·B·H
-    # scratch; keep under ~12 MB with margin
-    budget = 12 * 1024 * 1024 - 8 * B * H
+def _pick_tile(B: int, tile: int, H: int = 96, itemsize: int = 2) -> int:
+    """Largest divisor of B not above `tile`, capped so each kernel's
+    double-buffered per-step streams (~11H values/row each way) plus the
+    full-batch f32 carry scratch stay inside the ~16 MB VMEM budget."""
+    budget = 14 * 1024 * 1024 - 8 * B * H
     if budget <= 0:
         raise ValueError(
             f"LSTM batch {B} × hidden {H} needs {8 * B * H / 2**20:.1f} MB of "
             f"VMEM carry scratch alone — shard the batch (smaller per-device "
             f"batch or a data mesh) instead of growing the kernel"
         )
-    cap = max(budget // (112 * H), 128)
+    cap = max(budget // (30 * H * itemsize), 128)
     tile = min(tile, int(cap))
     if B <= tile:
         return B
@@ -63,7 +77,16 @@ def _pick_tile(B: int, tile: int, H: int = 96) -> int:
     return tile
 
 
-def _fwd_kernel(x_proj_ref, w_hh_ref, h_all_ref, c_all_ref, h_scratch, c_scratch):
+def _gate_slices(gates, H):
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    return i, f, g, o
+
+
+def _fwd_infer_kernel(x_proj_ref, w_hh_ref, h_all_ref, h_scratch, c_scratch):
+    """Inference forward: h_all only (teacher/eval path — no residuals)."""
     t = pl.program_id(0)
     b = pl.program_id(1)
     Bt = x_proj_ref.shape[1]
@@ -81,30 +104,58 @@ def _fwd_kernel(x_proj_ref, w_hh_ref, h_all_ref, c_all_ref, h_scratch, c_scratch
         + jnp.dot(h.astype(w_hh_ref.dtype), w_hh_ref[:], preferred_element_type=jnp.float32)
     ).astype(jnp.float32)
     H = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    i, f, g, o = _gate_slices(gates, H)
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     h_scratch[pl.ds(off, Bt)] = h_new
     c_scratch[pl.ds(off, Bt)] = c_new
     h_all_ref[0] = h_new.astype(h_all_ref.dtype)
-    c_all_ref[0] = c_new
 
 
-def _bwd_kernel(
-    x_proj_ref, w_hh_t_ref, w_hh_ref, h_prev_ref, c_pair_ref, g_ref,
-    dx_ref, dh_scratch, dc_scratch,
+def _fwd_train_kernel(
+    x_proj_ref, w_hh_ref, h_all_ref, prefac_ref, qf_ref, h_scratch, c_scratch
 ):
-    """Reverse-time step (grid index maps already reversed). Carries dh
-    (recurrent grad into h_t) and dc in VMEM scratch; emits dx_proj[t]
-    (= dgates). dW_hh = Σ_t h_{t-1}ᵀ dgates_t is NOT accumulated here — it
-    factors into ONE big XLA matmul over the emitted dgates stream, which
-    removes an f32 transposed MXU matmul from every sequential step."""
+    """Training forward: h_all + the backward's derivative prefactors."""
     t = pl.program_id(0)
     b = pl.program_id(1)
     Bt = x_proj_ref.shape[1]
+    off = b * Bt
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[pl.ds(off, Bt)] = jnp.zeros_like(h_scratch[pl.ds(off, Bt)])
+        c_scratch[pl.ds(off, Bt)] = jnp.zeros_like(c_scratch[pl.ds(off, Bt)])
+
+    h = h_scratch[pl.ds(off, Bt)]
+    c_prev = c_scratch[pl.ds(off, Bt)]
+    gates = (
+        x_proj_ref[0]
+        + jnp.dot(h.astype(w_hh_ref.dtype), w_hh_ref[:], preferred_element_type=jnp.float32)
+    ).astype(jnp.float32)
+    H = h.shape[-1]
+    i, f, g, o = _gate_slices(gates, H)
+    c_new = f * c_prev + i * g
+    tanh_c = jnp.tanh(c_new)
+    h_new = o * tanh_c
+    h_scratch[pl.ds(off, Bt)] = h_new
+    c_scratch[pl.ds(off, Bt)] = c_new
+    h_all_ref[0] = h_new.astype(h_all_ref.dtype)
+    p_i = g * i * (1.0 - i)
+    p_f = c_prev * f * (1.0 - f)
+    p_g = i * (1.0 - g * g)
+    p_o = tanh_c * o * (1.0 - o)
+    prefac_ref[0] = jnp.concatenate([p_i, p_f, p_g, p_o], axis=-1).astype(prefac_ref.dtype)
+    q = o * (1.0 - tanh_c * tanh_c)
+    qf_ref[0] = jnp.concatenate([q, f], axis=-1).astype(qf_ref.dtype)
+
+
+def _bwd_kernel(prefac_ref, qf_ref, g_ref, w_hh_t_ref, dx_ref, dh_scratch, dc_scratch):
+    """Reverse-time step (grid index maps already reversed): transcendental-
+    free gradient algebra on saved prefactors. dh/dc accumulate in f32 VMEM
+    scratch across all T steps."""
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+    Bt = prefac_ref.shape[1]
     off = b * Bt
 
     @pl.when(t == 0)
@@ -113,68 +164,56 @@ def _bwd_kernel(
         dc_scratch[pl.ds(off, Bt)] = jnp.zeros_like(dc_scratch[pl.ds(off, Bt)])
 
     H = dh_scratch.shape[-1]
-    h_prev = h_prev_ref[0]
-    c_prev = c_pair_ref[0, :, :H]
-    c_cur = c_pair_ref[0, :, H:]
-
-    gates = (
-        x_proj_ref[0]
-        + jnp.dot(
-            h_prev.astype(w_hh_ref.dtype), w_hh_ref[:], preferred_element_type=jnp.float32
-        )
-    ).astype(jnp.float32)
-    i32 = jax.nn.sigmoid(gates[:, :H])
-    f32_ = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g32 = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o32 = jax.nn.sigmoid(gates[:, 3 * H :])
-    tanh_c32 = jnp.tanh(c_cur)
-
-    if x_proj_ref.dtype == jnp.bfloat16:
-        # bf16 mode: transcendentals + derivative PREFACTORS stay f32
-        # (Mosaic rejects f32-scalar→bf16-vector splats inside sigmoid/tanh
-        # on bf16), the derivative ALGEBRA runs in bf16 — 1.43× faster,
-        # grad cosine vs the f32 path 0.9998 at Perils shapes
-        bf = jnp.bfloat16
-        i, f, g, o = i32.astype(bf), f32_.astype(bf), g32.astype(bf), o32.astype(bf)
-        di_pre = (i32 * (1.0 - i32)).astype(bf)
-        df_pre = (f32_ * (1.0 - f32_)).astype(bf)
-        dg_pre = (1.0 - g32 * g32).astype(bf)
-        do_pre = (o32 * (1.0 - o32)).astype(bf)
-        dtanh = (1.0 - tanh_c32 * tanh_c32).astype(bf)
-        tanh_c = tanh_c32.astype(bf)
-        dh = (dh_scratch[pl.ds(off, Bt)] + g_ref[0].astype(jnp.float32)).astype(bf)
-        dc32 = dc_scratch[pl.ds(off, Bt)] + (dh * o * dtanh).astype(jnp.float32)
-        dc = dc32.astype(bf)
-        do = dh * tanh_c * do_pre
-        di = dc * g * di_pre
-        df = dc * c_prev.astype(bf) * df_pre
-        dg = dc * i * dg_pre
-        dgates = jnp.concatenate([di, df, dg, do], axis=-1)  # (Bt, 4H) bf16
-        dc_next = dc32 * f32_
-    else:
-        dh = dh_scratch[pl.ds(off, Bt)] + g_ref[0].astype(jnp.float32)
-        dc = dc_scratch[pl.ds(off, Bt)] + dh * o32 * (1.0 - tanh_c32 * tanh_c32)
-        do = dh * tanh_c32 * o32 * (1.0 - o32)
-        di = dc * g32 * i32 * (1.0 - i32)
-        df = dc * c_prev * f32_ * (1.0 - f32_)
-        dg = dc * i32 * (1.0 - g32 * g32)
-        dgates = jnp.concatenate([di, df, dg, do], axis=-1)  # (Bt, 4H)
-        dc_next = dc * f32_
-
+    prefac = prefac_ref[0].astype(jnp.float32)
+    qf = qf_ref[0].astype(jnp.float32)
+    dh = dh_scratch[pl.ds(off, Bt)] + g_ref[0].astype(jnp.float32)
+    dc = dc_scratch[pl.ds(off, Bt)] + dh * qf[:, :H]
+    dgates = jnp.concatenate(
+        [dc * prefac[:, :H], dc * prefac[:, H : 2 * H], dc * prefac[:, 2 * H : 3 * H],
+         dh * prefac[:, 3 * H :]],
+        axis=-1,
+    )
     dx_ref[0] = dgates.astype(dx_ref.dtype)
     dh_scratch[pl.ds(off, Bt)] = jnp.dot(
         dgates.astype(w_hh_t_ref.dtype), w_hh_t_ref[:], preferred_element_type=jnp.float32
     )
-    dc_scratch[pl.ds(off, Bt)] = dc_next
+    dc_scratch[pl.ds(off, Bt)] = dc * qf[:, H:]
 
 
-def _lstm_scan_fwd_impl(x_proj: jax.Array, w_hh: jax.Array, batch_tile: int):
+def _fwd_infer_impl(x_proj: jax.Array, w_hh: jax.Array, batch_tile: int) -> jax.Array:
     T, B, four_h = x_proj.shape
     H = four_h // 4
-    Bt = _pick_tile(B, batch_tile, H)
+    Bt = _pick_tile(B, batch_tile, H, x_proj.dtype.itemsize)
     nb = B // Bt
-    h_all, c_all = pl.pallas_call(
-        _fwd_kernel,
+    return pl.pallas_call(
+        _fwd_infer_kernel,
+        grid=(T, nb),
+        in_specs=[
+            pl.BlockSpec((1, Bt, four_h), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, four_h), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Bt, H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * four_h + 10 * T * B * four_h,
+            bytes_accessed=x_proj.size * x_proj.dtype.itemsize + T * B * H * x_proj.dtype.itemsize,
+            transcendentals=5 * T * B * H,
+        ),
+        interpret=_interpret(),
+    )(x_proj, w_hh)
+
+
+def _fwd_train_impl(x_proj: jax.Array, w_hh: jax.Array, batch_tile: int):
+    T, B, four_h = x_proj.shape
+    H = four_h // 4
+    Bt = _pick_tile(B, batch_tile, H, x_proj.dtype.itemsize)
+    nb = B // Bt
+    h_all, prefac, qf = pl.pallas_call(
+        _fwd_train_kernel,
         grid=(T, nb),
         in_specs=[
             pl.BlockSpec((1, Bt, four_h), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
@@ -182,24 +221,26 @@ def _lstm_scan_fwd_impl(x_proj: jax.Array, w_hh: jax.Array, batch_tile: int):
         ],
         out_specs=[
             pl.BlockSpec((1, Bt, H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, four_h), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, 2 * H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, four_h), x_proj.dtype),
+            jax.ShapeDtypeStruct((T, B, 2 * H), x_proj.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * H * four_h + 10 * T * B * four_h,
-            bytes_accessed=x_proj.size * x_proj.dtype.itemsize + 2 * T * B * H * 4,
-            transcendentals=4 * T * B * H,
+            flops=2 * T * B * H * four_h + 24 * T * B * four_h,
+            bytes_accessed=(x_proj.size + T * B * 7 * H) * x_proj.dtype.itemsize,
+            transcendentals=5 * T * B * H,
         ),
         interpret=_interpret(),
     )(x_proj, w_hh)
-    return h_all, c_all
+    return h_all, prefac, qf
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -211,26 +252,20 @@ def lstm_scan_pallas(
     x_proj: (T, B, 4H) = x @ w_ih + b_ih + b_hh for every timestep;
     w_hh: (H, 4H). Returns h_all (T, B, H) in x_proj's dtype.
     """
-    h_all, _ = _lstm_scan_fwd_impl(x_proj, w_hh, batch_tile)
-    return h_all
+    return _fwd_infer_impl(x_proj, w_hh, batch_tile)
 
 
 def _vjp_fwd(x_proj, w_hh, batch_tile):
-    h_all, c_all = _lstm_scan_fwd_impl(x_proj, w_hh, batch_tile)
-    return h_all, (x_proj, w_hh, h_all, c_all)
+    h_all, prefac, qf = _fwd_train_impl(x_proj, w_hh, batch_tile)
+    return h_all, (w_hh, h_all, prefac, qf)
 
 
 def _vjp_bwd(batch_tile, residuals, g):
-    x_proj, w_hh, h_all, c_all = residuals
-    T, B, four_h = x_proj.shape
+    w_hh, h_all, prefac, qf = residuals
+    T, B, four_h = prefac.shape
     H = four_h // 4
-    Bt = _pick_tile(B, batch_tile, H)
+    Bt = _pick_tile(B, batch_tile, H, prefac.dtype.itemsize)
     nb = B // Bt
-
-    # h_prev / c_prev streams: shifted right by one (zeros at t=0)
-    h_prev_all = jnp.concatenate([jnp.zeros((1, B, H), h_all.dtype), h_all[:-1]], axis=0)
-    c_prev_all = jnp.concatenate([jnp.zeros((1, B, H), c_all.dtype), c_all[:-1]], axis=0)
-    c_pair = jnp.concatenate([c_prev_all, c_all], axis=-1)  # (T, B, 2H)
     w_hh_t = jnp.swapaxes(w_hh, 0, 1)  # (4H, H)
 
     rev3 = lambda t, b: (T - 1 - t, b, 0)
@@ -238,36 +273,35 @@ def _vjp_bwd(batch_tile, residuals, g):
         _bwd_kernel,
         grid=(T, nb),
         in_specs=[
-            pl.BlockSpec((1, Bt, four_h), rev3, memory_space=pltpu.VMEM),  # x_proj
-            pl.BlockSpec((four_h, H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, four_h), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, H), rev3, memory_space=pltpu.VMEM),  # h_prev
-            pl.BlockSpec((1, Bt, 2 * H), rev3, memory_space=pltpu.VMEM),  # (c_prev, c)
+            pl.BlockSpec((1, Bt, four_h), rev3, memory_space=pltpu.VMEM),  # prefac
+            pl.BlockSpec((1, Bt, 2 * H), rev3, memory_space=pltpu.VMEM),  # (q, f)
             pl.BlockSpec((1, Bt, H), rev3, memory_space=pltpu.VMEM),  # upstream g
+            pl.BlockSpec((four_h, H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Bt, four_h), rev3, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, four_h), x_proj.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, B, four_h), prefac.dtype),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * T * B * H * four_h,
-            bytes_accessed=2 * x_proj.size * x_proj.dtype.itemsize,
-            transcendentals=8 * T * B * H,
+            flops=2 * T * B * H * four_h + 8 * T * B * four_h,
+            bytes_accessed=2 * prefac.size * prefac.dtype.itemsize,
+            transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x_proj, w_hh_t, w_hh, h_prev_all, c_pair, g)
-    # dW_hh = Σ_t h_{t-1}ᵀ dgates_t — factored out of the sequential kernel
-    # into ONE MXU matmul over the whole dgates stream. NOTE: in bf16 mode
-    # dgates round to bf16 on the way out of the kernel (the in-kernel
-    # accumulator used f32 terms); accumulation here is still f32, so the
-    # difference is per-term rounding noise — acceptable for bf16 training,
-    # exact in f32 mode (dx inherits x_proj's dtype)
+    )(prefac, qf, g, w_hh_t)
+    # h_prev stream: shifted right by one (zeros at t=0)
+    h_prev_all = jnp.concatenate([jnp.zeros((1, B, H), h_all.dtype), h_all[:-1]], axis=0)
+    # dW_hh = Σ_t h_{t-1}ᵀ dgates_t — ONE MXU matmul over the whole stream
     dwhh = jnp.einsum(
         "tbh,tbg->hg", h_prev_all, dx, preferred_element_type=jnp.float32
     )
-    return dx, dwhh.astype(w_hh.dtype)
+    return dx.astype(x_dtype_of(prefac)), dwhh.astype(w_hh.dtype)
+
+
+def x_dtype_of(prefac):
+    return prefac.dtype
 
 
 lstm_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
