@@ -44,7 +44,9 @@ def measure_jax() -> float:
 
     log(f"jax devices: {jax.devices()}")
     spec = design_bandpass(14.0, 71.0, fs=1000.0, order=4)
-    fir_matrix = zero_phase_matrix(spec, T_RAW, num_taps=257)
+    # bf16 filter weights: the step's model math is bf16 end-to-end and EEG
+    # is noise-dominated; measured 1.03 → 0.55 ms for the filter matmul
+    fir_matrix = zero_phase_matrix(spec, T_RAW, num_taps=257, dtype=jnp.bfloat16)
 
     model = Model(
         input_size=C, lstm_size=C, lstm_layers=2, output_size=F, include_top=True,

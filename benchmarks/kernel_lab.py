@@ -162,6 +162,202 @@ def exp_grid():
 
 EXPS = {"baseline": exp_baseline, "vpu": exp_vpu, "grid": exp_grid}
 
+
+
+
+def exp_parts():
+    """Non-LSTM components of the bench step: filter matmul f32 vs bf16,
+    x_proj matmul + dW_ih einsum, loss+opt — where the remaining ~4.9 ms
+    lives."""
+    from cerebra.signal.filters import design_bandpass, zero_phase_matrix
+
+    rng = np.random.default_rng(0)
+    C, T_RAW = 96, 512
+    spec = design_bandpass(14.0, 71.0, fs=1000.0, order=4)
+    raw = jnp.asarray(rng.normal(size=(B, C, T_RAW)).astype(np.float32))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        W = zero_phase_matrix(spec, T_RAW, num_taps=257, dtype=dtype)
+
+        @jax.jit
+        def filt(x, W=W):
+            return jnp.dot(x.astype(W.dtype), W, preferred_element_type=jnp.float32)
+
+        dt = timeit(filt, raw)
+        print(f"[parts] filter matmul {dtype.__name__}: {dt*1e3:.3f} ms", flush=True)
+
+    # x_proj + dW_ih (fwd + bwd matmuls of one layer)
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32), dtype=jnp.bfloat16)
+    w_ih = jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32), dtype=jnp.bfloat16)
+
+    @jax.jit
+    def xproj_fwdbwd(x, w):
+        def f(w):
+            return (x @ w).sum()
+        return jax.grad(f)(w)
+
+    dt = timeit(xproj_fwdbwd, x, w_ih)
+    print(f"[parts] x_proj fwd+dW bf16 (1 layer): {dt*1e3:.3f} ms", flush=True)
+
+    # dW_hh einsum over the whole stream
+    h_prev = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32), dtype=jnp.bfloat16)
+    dxs = jnp.asarray(rng.normal(size=(T, B, 4 * H)).astype(np.float32), dtype=jnp.bfloat16)
+
+    @jax.jit
+    def dwhh(hp, dx):
+        return jnp.einsum("tbh,tbg->hg", hp, dx, preferred_element_type=jnp.float32)
+
+    dt = timeit(dwhh, h_prev, dxs)
+    print(f"[parts] dW_hh einsum bf16 (1 layer): {dt*1e3:.3f} ms", flush=True)
+
+
+def exp_bench2048():
+    """Full bench step at B=2048 (amortization check)."""
+    import importlib
+    sys.path.insert(0, ".")
+    import bench
+    importlib.reload(bench)
+    bench.B = 2048
+    wps = bench.measure_jax()
+    print(f"[bench2048] {wps:.0f} windows/s", flush=True)
+
+
+EXPS["parts"] = exp_parts
+EXPS["bench2048"] = exp_bench2048
+
+
+def exp_bwdvar():
+    """Backward micro-variants vs the shipped kernel: (a) slice-wise algebra
+    without the full-width concat/casts, bf16 products feeding the MXU."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from cerebra.models.pallas_lstm import _pick_tile, lstm_scan_pallas
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16
+    four_h = 4 * H
+    prefac = jnp.asarray(rng.normal(size=(T, B, four_h)) * 0.1, dtype=dtype)
+    qf = jnp.asarray(rng.normal(size=(T, B, 2 * H)) * 0.1, dtype=dtype)
+    g_up = jnp.asarray(rng.normal(size=(T, B, H)) * 0.1, dtype=dtype)
+    w_hh_t = jnp.asarray(rng.normal(size=(four_h, H)) * 0.1, dtype=dtype)
+
+    def kern_a(prefac_ref, qf_ref, g_ref, w_hh_t_ref, dx_ref, dh_s, dc_s):
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        Bt = prefac_ref.shape[1]
+        off = b * Bt
+
+        @pl.when(t == 0)
+        def _():
+            dh_s[pl.ds(off, Bt)] = jnp.zeros_like(dh_s[pl.ds(off, Bt)])
+            dc_s[pl.ds(off, Bt)] = jnp.zeros_like(dc_s[pl.ds(off, Bt)])
+
+        Hh = dh_s.shape[-1]
+        dh = dh_s[pl.ds(off, Bt)] + g_ref[0].astype(jnp.float32)
+        q = qf_ref[0, :, :Hh].astype(jnp.float32)
+        f = qf_ref[0, :, Hh:]
+        dc = dc_s[pl.ds(off, Bt)] + dh * q
+        dc_bf = dc.astype(jnp.bfloat16)
+        dh_bf = dh.astype(jnp.bfloat16)
+        pf = prefac_ref[0]
+        dgates = jnp.concatenate(
+            [dc_bf * pf[:, :Hh], dc_bf * pf[:, Hh:2*Hh], dc_bf * pf[:, 2*Hh:3*Hh],
+             dh_bf * pf[:, 3*Hh:]], axis=-1)
+        dx_ref[0] = dgates
+        dh_s[pl.ds(off, Bt)] = jnp.dot(dgates, w_hh_t_ref[:],
+                                       preferred_element_type=jnp.float32)
+        dc_s[pl.ds(off, Bt)] = dc * f.astype(jnp.float32)
+
+    def run_variant(kern):
+        Bt = _pick_tile(B, 1024, H, 2)
+        nb = B // Bt
+        rev3 = lambda t, b: (T - 1 - t, b, 0)
+
+        @jax.jit
+        def go(prefac, qf, g_up, w_hh_t):
+            return pl.pallas_call(
+                kern,
+                grid=(T, nb),
+                in_specs=[
+                    pl.BlockSpec((1, Bt, four_h), rev3, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Bt, 2 * H), rev3, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Bt, H), rev3, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((four_h, H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, Bt, four_h), rev3, memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((T, B, four_h), dtype),
+                scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                                pltpu.VMEM((B, H), jnp.float32)],
+            )(prefac, qf, g_up, w_hh_t)
+
+        return go
+
+    dt = timeit(run_variant(kern_a), prefac, qf, g_up, w_hh_t)
+    print(f"[bwdvar] variant-a (bf16 products, no f32 widen): {dt*1e3:.3f} ms "
+          f"({dt/T*1e6:.2f} us/step)", flush=True)
+
+    # shipped bwd for comparison (isolated through grad of the public API)
+    x_proj = jnp.asarray(rng.normal(size=(T, B, four_h)) * 0.1, dtype=dtype)
+    w_hh = jnp.asarray(rng.normal(size=(H, four_h)) * 0.1, dtype=dtype)
+    gradfn = jax.jit(jax.grad(lambda xp, w: lstm_scan_pallas(xp, w).sum(), argnums=(0, 1)))
+    dt = timeit(gradfn, x_proj, w_hh)
+    print(f"[bwdvar] shipped fwd+bwd: {dt*1e3:.3f} ms ({dt/T*1e6:.2f} us/step)",
+          flush=True)
+
+
+EXPS["bwdvar"] = exp_bwdvar
+
+
+
+
+def exp_dwhh():
+    """dW_hh contraction forms: einsum 3D vs 2D A.T@B vs dot_general."""
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(T, B, H)) * 0.1, dtype=jnp.bfloat16)
+    dx = jnp.asarray(rng.normal(size=(T, B, 4 * H)) * 0.1, dtype=jnp.bfloat16)
+
+    forms = {
+        "einsum3d": jax.jit(lambda h, dx: jnp.einsum(
+            "tbh,tbg->hg", h, dx, preferred_element_type=jnp.float32)),
+        "2dT": jax.jit(lambda h, dx: jnp.dot(
+            h.reshape(-1, H).T, dx.reshape(-1, 4 * H),
+            preferred_element_type=jnp.float32)),
+        "dg3d": jax.jit(lambda h, dx: jax.lax.dot_general(
+            h, dx, dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)),
+        "2dswap": jax.jit(lambda h, dx: jnp.dot(
+            dx.reshape(-1, 4 * H).T, h.reshape(-1, H),
+            preferred_element_type=jnp.float32).T),
+    }
+    for name, fn in forms.items():
+        dt = timeit(fn, h, dx)
+        print(f"[dwhh] {name}: {dt*1e3:.3f} ms", flush=True)
+
+
+def exp_kernel_now():
+    """Re-time the shipped kernel after the bf16-product bwd + lean fwd."""
+    from cerebra.models.pallas_lstm import lstm_scan_pallas
+
+    rng = np.random.default_rng(0)
+    x_proj = jnp.asarray(rng.normal(size=(T, B, 4 * H)) * 0.1, dtype=jnp.bfloat16)
+    w_hh = jnp.asarray(rng.normal(size=(H, 4 * H)) * 0.1, dtype=jnp.bfloat16)
+    fwd = jax.jit(lambda xp, w: lstm_scan_pallas(xp, w))
+    dt = timeit(fwd, x_proj, w_hh, n_small=5, n_large=25)
+    print(f"[kernel_now] fwd-infer bf16: {dt*1e3:.3f} ms ({dt/T*1e6:.2f} us/step)", flush=True)
+    gradfn = jax.jit(jax.grad(lambda xp, w: lstm_scan_pallas(xp, w).sum(), argnums=(0, 1)))
+    dt = timeit(gradfn, x_proj, w_hh)
+    print(f"[kernel_now] fwd+bwd bf16 (incl dwhh): {dt*1e3:.3f} ms ({dt/T*1e6:.2f} us/step)", flush=True)
+
+    # fwd_train alone (via vjp fwd rule)
+    from cerebra.models import pallas_lstm as P
+    ftrain = jax.jit(lambda xp, w: P._fwd_train_impl(xp, w, 1024))
+    dt = timeit(ftrain, x_proj, w_hh)
+    print(f"[kernel_now] fwd-train bf16: {dt*1e3:.3f} ms ({dt/T*1e6:.2f} us/step)", flush=True)
+
+
+EXPS["dwhh"] = exp_dwhh
+EXPS["kernel_now"] = exp_kernel_now
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)
