@@ -358,6 +358,129 @@ EXPS["dwhh"] = exp_dwhh
 EXPS["kernel_now"] = exp_kernel_now
 
 
+
+
+def exp_fwdtrain_var():
+    """fwd_train variants: pipelining hints, no cost_estimate, merged 6H
+    residual output."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from cerebra.models.pallas_lstm import _gate_slices, _pick_tile
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16
+    four_h = 4 * H
+    x_proj = jnp.asarray(rng.normal(size=(T, B, four_h)) * 0.1, dtype=dtype)
+    w_hh = jnp.asarray(rng.normal(size=(H, four_h)) * 0.1, dtype=dtype)
+    Bt = _pick_tile(B, 1024, H, 2)
+    nb = B // Bt
+
+    def body(x_proj_ref, w_hh_ref, h_all_ref, res_ref, h_s, c_s, merged):
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        off = b * Bt
+
+        @pl.when(t == 0)
+        def _():
+            h_s[pl.ds(off, Bt)] = jnp.zeros_like(h_s[pl.ds(off, Bt)])
+            c_s[pl.ds(off, Bt)] = jnp.zeros_like(c_s[pl.ds(off, Bt)])
+
+        h = h_s[pl.ds(off, Bt)]
+        c_prev = c_s[pl.ds(off, Bt)]
+        gates = (x_proj_ref[0] + jnp.dot(h.astype(w_hh_ref.dtype), w_hh_ref[:],
+                                         preferred_element_type=jnp.float32)
+                 ).astype(jnp.float32)
+        i, f, g, o = _gate_slices(gates, H)
+        ig = i * g
+        c_new = f * c_prev + ig
+        tanh_c = jnp.tanh(c_new)
+        h_new = o * tanh_c
+        h_s[pl.ds(off, Bt)] = h_new
+        c_s[pl.ds(off, Bt)] = c_new
+        h_all_ref[0] = h_new.astype(h_all_ref.dtype)
+        pieces = [g * (i - i * i), c_prev * (f - f * f), i - g * ig,
+                  tanh_c * (o - o * o), o - o * tanh_c * tanh_c, f]
+        if merged:
+            res_ref[0] = jnp.concatenate(pieces, axis=-1).astype(res_ref.dtype)
+        else:
+            res_ref[0] = jnp.concatenate(pieces[:4], axis=-1).astype(res_ref.dtype)
+
+    def make(merged, cost, semantics):
+        def kern6(x_ref, w_ref, h_ref, res_ref, h_s, c_s):
+            body(x_ref, w_ref, h_ref, res_ref, h_s, c_s, True)
+
+        def kern4(x_ref, w_ref, h_ref, p_ref, qf_ref, h_s, c_s):
+            body(x_ref, w_ref, h_ref, p_ref, h_s, c_s, False)
+            # qf separate (mirror of shipped): recompute cheap bits
+            # (for timing only — not numerically used)
+            qf_ref[0] = p_ref[0][:, : 2 * H]
+
+        params = {}
+        if semantics:
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"))
+        if cost:
+            params["cost_estimate"] = pl.CostEstimate(
+                flops=2 * T * B * H * four_h + 24 * T * B * four_h,
+                bytes_accessed=(x_proj.size + T * B * 7 * H) * 2,
+                transcendentals=5 * T * B * H)
+        if merged:
+            outs = [
+                pl.BlockSpec((1, Bt, H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bt, 6 * H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+            ]
+            shapes = [jax.ShapeDtypeStruct((T, B, H), dtype),
+                      jax.ShapeDtypeStruct((T, B, 6 * H), dtype)]
+            kern = kern6
+        else:
+            outs = [
+                pl.BlockSpec((1, Bt, H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bt, four_h), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bt, 2 * H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+            ]
+            shapes = [jax.ShapeDtypeStruct((T, B, H), dtype),
+                      jax.ShapeDtypeStruct((T, B, four_h), dtype),
+                      jax.ShapeDtypeStruct((T, B, 2 * H), dtype)]
+            kern = kern4
+
+        @jax.jit
+        def go(x_proj, w_hh):
+            return pl.pallas_call(
+                kern,
+                grid=(T, nb),
+                in_specs=[
+                    pl.BlockSpec((1, Bt, four_h), lambda t, b: (t, b, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((H, four_h), lambda t, b: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=outs,
+                out_shape=shapes,
+                scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                                pltpu.VMEM((B, H), jnp.float32)],
+                **params,
+            )(x_proj, w_hh)
+
+        return go
+
+    for name, cfg in {
+        "merged6H+cost": (True, True, False),
+        "merged6H-nocost": (True, False, False),
+        "split+semantics": (False, True, True),
+        "split-nocost": (False, False, False),
+    }.items():
+        merged, cost, sem = cfg
+        try:
+            dt = timeit(make(merged, cost, sem), x_proj, w_hh)
+            print(f"[fwdtrain] {name}: {dt*1e3:.3f} ms ({dt/T*1e6:.2f} us/step)",
+                  flush=True)
+        except Exception as e:
+            print(f"[fwdtrain] {name} FAILED: {str(e)[:180]}", flush=True)
+
+
+EXPS["fwdtrain_var"] = exp_fwdtrain_var
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)

@@ -71,9 +71,14 @@ class LSTMStack(nn.Module):
         scale = 1.0 / (H**0.5)  # torch LSTM default init range
         compute_dtype = self.dtype or x.dtype
 
-        h_seq = x
+        # Time-major through the whole stack: ONE (B,T,C)→(T,B,C) transpose
+        # in and one back out, instead of a per-layer transpose of the 4×
+        # wider (B,T,4H) projections (each of those materialized a ~4H-wide
+        # HBM copy fwd + its mirror in the backward — ~3 ms/step at Perils
+        # shapes).
+        h_seq_t = jnp.swapaxes(x.astype(compute_dtype), 0, 1)  # (T, B, C)
         for layer in range(self.num_layers):
-            in_dim = h_seq.shape[-1]
+            in_dim = h_seq_t.shape[-1]
             w_ih = self.param(
                 f"w_ih_l{layer}", _uniform_init(scale), (in_dim, 4 * H), self.param_dtype
             )
@@ -83,12 +88,11 @@ class LSTMStack(nn.Module):
             b_ih = self.param(f"b_ih_l{layer}", _uniform_init(scale), (4 * H,), self.param_dtype)
             b_hh = self.param(f"b_hh_l{layer}", _uniform_init(scale), (4 * H,), self.param_dtype)
 
-            # one MXU matmul for all timesteps' input gates
-            x_proj = (
-                h_seq.astype(compute_dtype) @ w_ih.astype(compute_dtype)
+            # one MXU matmul for all timesteps' input gates, already (T, B, 4H)
+            x_proj_t = (
+                h_seq_t @ w_ih.astype(compute_dtype)
                 + (b_ih + b_hh).astype(compute_dtype)
-            )  # (B, T, 4H)
-            x_proj_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
+            )
 
             w_hh_c = w_hh.astype(compute_dtype)
             use_pallas = self.use_pallas
@@ -97,7 +101,7 @@ class LSTMStack(nn.Module):
             if use_pallas:
                 from cerebra.models.pallas_lstm import lstm_scan_pallas
 
-                h_all = lstm_scan_pallas(x_proj_t, w_hh_c)
+                h_seq_t = lstm_scan_pallas(x_proj_t, w_hh_c)
             else:
                 h0 = jnp.zeros((B, H), dtype=compute_dtype)
                 c0 = jnp.zeros((B, H), dtype=jnp.float32)  # cell state in f32
@@ -110,9 +114,8 @@ class LSTMStack(nn.Module):
                     h_new = (jax.nn.sigmoid(o) * jnp.tanh(c_new)).astype(compute_dtype)
                     return (h_new, c_new), h_new
 
-                (_, _), h_all = jax.lax.scan(step, (h0, c0), x_proj_t)
-            h_seq = jnp.swapaxes(h_all, 0, 1)  # (B, T, H)
-        return h_seq
+                (_, _), h_seq_t = jax.lax.scan(step, (h0, c0), x_proj_t)
+        return jnp.swapaxes(h_seq_t, 0, 1)  # (B, T, H)
 
 
 class Model(nn.Module):

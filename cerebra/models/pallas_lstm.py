@@ -134,19 +134,23 @@ def _fwd_train_kernel(
     ).astype(jnp.float32)
     H = h.shape[-1]
     i, f, g, o = _gate_slices(gates, H)
-    c_new = f * c_prev + i * g
+    ig = i * g
+    c_new = f * c_prev + ig
     tanh_c = jnp.tanh(c_new)
     h_new = o * tanh_c
     h_scratch[pl.ds(off, Bt)] = h_new
     c_scratch[pl.ds(off, Bt)] = c_new
     h_all_ref[0] = h_new.astype(h_all_ref.dtype)
-    p_i = g * i * (1.0 - i)
-    p_f = c_prev * f * (1.0 - f)
-    p_g = i * (1.0 - g * g)
-    p_o = tanh_c * o * (1.0 - o)
-    prefac_ref[0] = jnp.concatenate([p_i, p_f, p_g, p_o], axis=-1).astype(prefac_ref.dtype)
-    q = o * (1.0 - tanh_c * tanh_c)
-    qf_ref[0] = jnp.concatenate([q, f], axis=-1).astype(qf_ref.dtype)
+    # derivative prefactors; shared subexpressions folded (s' = s - s²,
+    # p_g = i - g·ig). One wide store per output (slice-wise stores measured
+    # slower than the concat's single contiguous store).
+    prefac = jnp.concatenate(
+        [g * (i - i * i), c_prev * (f - f * f), i - g * ig, tanh_c * (o - o * o)],
+        axis=-1,
+    )
+    prefac_ref[0] = prefac.astype(prefac_ref.dtype)
+    qf = jnp.concatenate([o - o * tanh_c * tanh_c, f], axis=-1)
+    qf_ref[0] = qf.astype(qf_ref.dtype)
 
 
 def _bwd_kernel(prefac_ref, qf_ref, g_ref, w_hh_t_ref, dx_ref, dh_scratch, dc_scratch):
