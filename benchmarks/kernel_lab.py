@@ -481,6 +481,42 @@ def exp_fwdtrain_var():
 EXPS["fwdtrain_var"] = exp_fwdtrain_var
 
 
+
+
+def exp_stack():
+    """Fused multi-layer stack kernel vs the per-layer path, at headline
+    (2 layers H=96) and DINO-backbone (4 layers H=128) shapes."""
+    from cerebra.models.pallas_lstm_stack import lstm_stack
+
+    lstm_stack_pallas = lstm_stack
+    rng = np.random.default_rng(0)
+    for L, Hh, Tt, tag in ((2, 96, 460, "headline"), (4, 128, 300, "dino-g"), (4, 128, 200, "dino-l")):
+        x = jnp.asarray(rng.normal(size=(Tt, B, H)) * 0.1, dtype=jnp.bfloat16)
+        layers = []
+        for l in range(L):
+            in_dim = H if l == 0 else Hh
+            layers.append((
+                jnp.asarray(rng.normal(size=(in_dim, 4 * Hh)) * 0.1, dtype=jnp.bfloat16),
+                jnp.asarray(rng.normal(size=(Hh, 4 * Hh)) * 0.1, dtype=jnp.bfloat16),
+                jnp.asarray(rng.normal(size=(4 * Hh,)) * 0.1, dtype=jnp.bfloat16),
+            ))
+        layers = tuple(layers)
+
+        infer = jax.jit(lambda xx, ll: lstm_stack_pallas(xx, ll))
+        dt = timeit(infer, x, layers)
+        print(f"[stack:{tag}] infer L={L} H={Hh} T={Tt}: {dt*1e3:.3f} ms "
+              f"({dt/Tt*1e6:.2f} us/step) -> {B/dt:.0f} w/s", flush=True)
+
+        grad = jax.jit(jax.grad(
+            lambda xx, ll: (lstm_stack_pallas(xx, ll)[-1] ** 2).sum(), argnums=(1,)))
+        dt = timeit(grad, x, layers)
+        print(f"[stack:{tag}] fwd+bwd L={L} H={Hh} T={Tt}: {dt*1e3:.3f} ms "
+              f"({dt/Tt*1e6:.2f} us/step) -> {B/dt:.0f} w/s", flush=True)
+
+
+EXPS["stack"] = exp_stack
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)

@@ -77,32 +77,42 @@ class LSTMStack(nn.Module):
         # HBM copy fwd + its mirror in the backward — ~3 ms/step at Perils
         # shapes).
         h_seq_t = jnp.swapaxes(x.astype(compute_dtype), 0, 1)  # (T, B, C)
-        for layer in range(self.num_layers):
-            in_dim = h_seq_t.shape[-1]
-            w_ih = self.param(
-                f"w_ih_l{layer}", _uniform_init(scale), (in_dim, 4 * H), self.param_dtype
-            )
-            w_hh = self.param(
-                f"w_hh_l{layer}", _uniform_init(scale), (H, 4 * H), self.param_dtype
-            )
-            b_ih = self.param(f"b_ih_l{layer}", _uniform_init(scale), (4 * H,), self.param_dtype)
-            b_hh = self.param(f"b_hh_l{layer}", _uniform_init(scale), (4 * H,), self.param_dtype)
+        in_dims = [x.shape[-1]] + [H] * (self.num_layers - 1)
+        params = []
+        for layer, in_dim in enumerate(in_dims):
+            params.append((
+                self.param(f"w_ih_l{layer}", _uniform_init(scale), (in_dim, 4 * H), self.param_dtype),
+                self.param(f"w_hh_l{layer}", _uniform_init(scale), (H, 4 * H), self.param_dtype),
+                self.param(f"b_ih_l{layer}", _uniform_init(scale), (4 * H,), self.param_dtype),
+                self.param(f"b_hh_l{layer}", _uniform_init(scale), (4 * H,), self.param_dtype),
+            ))
 
-            # one MXU matmul for all timesteps' input gates, already (T, B, 4H)
-            x_proj_t = (
-                h_seq_t @ w_ih.astype(compute_dtype)
-                + (b_ih + b_hh).astype(compute_dtype)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            # the fused whole-stack kernel: all layers × all timesteps in one
+            # pallas_call pair, raw x streamed once, dW/db accumulated
+            # in-kernel, H lane-padded to the 128-wide vregs
+            from cerebra.models.pallas_lstm_stack import lstm_stack
+
+            layers = tuple(
+                (
+                    w_ih.astype(compute_dtype),
+                    w_hh.astype(compute_dtype),
+                    (b_ih + b_hh).astype(compute_dtype),
+                )
+                for (w_ih, w_hh, b_ih, b_hh) in params
             )
-
-            w_hh_c = w_hh.astype(compute_dtype)
-            use_pallas = self.use_pallas
-            if use_pallas is None:
-                use_pallas = jax.default_backend() == "tpu"
-            if use_pallas:
-                from cerebra.models.pallas_lstm import lstm_scan_pallas
-
-                h_seq_t = lstm_scan_pallas(x_proj_t, w_hh_c)
-            else:
+            h_seq_t = lstm_stack(h_seq_t, layers)
+        else:
+            for w_ih, w_hh, b_ih, b_hh in params:
+                # one MXU matmul for all timesteps' input gates: (T, B, 4H)
+                x_proj_t = (
+                    h_seq_t @ w_ih.astype(compute_dtype)
+                    + (b_ih + b_hh).astype(compute_dtype)
+                )
+                w_hh_c = w_hh.astype(compute_dtype)
                 h0 = jnp.zeros((B, H), dtype=compute_dtype)
                 c0 = jnp.zeros((B, H), dtype=jnp.float32)  # cell state in f32
 

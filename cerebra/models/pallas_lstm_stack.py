@@ -1,0 +1,482 @@
+"""Fused multi-layer LSTM stack — one Pallas kernel for the WHOLE stack.
+
+The per-layer kernel (cerebra.models.pallas_lstm) still pays, per layer:
+an XLA x_proj matmul writing (T, B, 4H) to HBM, the kernel re-reading it,
+the backward emitting dgates (T, B, 4H) to HBM, and three XLA matmuls
+re-reading those streams for dW_ih / dW_hh / the inter-layer chain. At
+Perils shapes that HBM ping-pong is the step's dominant cost (measured:
+fwd-train 8.0 µs/step vs a 2.6 µs bandwidth bound, plus 0.8 ms/layer of
+XLA-side projection matmuls).
+
+This kernel runs ALL layers of ALL timesteps inside one pallas_call pair:
+
+  forward (grid = (T, B/Bt), time major — sequential on TPU):
+    per step, per layer: gates = x_t @ w_ih + b + h @ w_hh (two MXU
+    matmuls, f32 accumulation), cell math on the VPU, carry (h, c) in f32
+    VMEM scratch; the NEXT layer consumes h_new directly from registers —
+    no inter-layer HBM traffic, no pre-computed x_proj. Residuals for the
+    backward (h_all + derivative prefactors, see pallas_lstm.py's algebra)
+    stream out per layer.
+
+  backward (reverse-time grid): transcendental-free gradient algebra on the
+    saved prefactors; dW_ih / dW_hh / db ACCUMULATE in f32 directly into
+    VMEM-resident output blocks (constant index map) instead of streaming
+    dgates to HBM for XLA-side contractions; the inter-layer chain
+    dh_{l-1} += dgates_l @ w_ihᵀ_l is one in-kernel MXU matmul. Only dx
+    (needed when the stack's input itself carries gradient, e.g. the
+    recurrent autoencoder's decoder) leaves per step.
+
+HBM traffic per (step, row): read x (C) + write h_all/prefac/qf (7H per
+layer) forward; read prefac/qf/h streams + write dx (C) backward — vs the
+per-layer design's additional 4H x_proj write+read, 4H dgates write + 3×4H
+re-reads, per layer. Gate order [i, f, g, o] (torch convention), matching
+cerebra.models.lstm checkpoint layout.
+
+Used by LSTMStack (models/lstm.py) on TPU for any depth; parity with the
+lax.scan reference is pinned in tests/test_pallas_lstm_stack.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pick_tile(B: int, H: int, n_layers: int, itemsize: int) -> int:
+    """Largest divisor of B whose double-buffered per-step blocks
+    (~7H/layer each way + x) plus the per-tile f32 carries fit VMEM.
+    The grid is batch-OUTER (one tile runs its whole time loop before the
+    next starts), so carry scratch scales with the tile, not with B."""
+    per_row = 8 * n_layers * H + 2 * (16 * H * n_layers + 4 * H) * itemsize
+    tile = max(min(B, _VMEM_BUDGET // per_row), 8)
+    if B <= tile:
+        return B
+    while B % tile != 0:
+        tile -= 1
+    return tile
+
+
+def _cell(gates, c_prev, H):
+    """f32 LSTM cell math + the backward's derivative prefactors."""
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    ig = i * g
+    c_new = f * c_prev + ig
+    tanh_c = jnp.tanh(c_new)
+    h_new = o * tanh_c
+    prefac = jnp.concatenate(
+        [g * (i - i * i), c_prev * (f - f * f), i - g * ig, tanh_c * (o - o * o)],
+        axis=-1,
+    )
+    qf = jnp.concatenate([o - o * tanh_c * tanh_c, f], axis=-1)
+    return h_new, c_new, prefac, qf
+
+
+def _fwd_train_kernel(n_layers, H, *refs):
+    # refs: x, (w_ih, w_hh, b) × L, | outs: (h_all, prefac, qf) × L, | h_s, c_s
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + 3 * n_layers]
+    out_refs = refs[1 + 3 * n_layers : 1 + 6 * n_layers]
+    h_s, c_s = refs[-2], refs[-1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[...] = jnp.zeros_like(h_s)
+        c_s[...] = jnp.zeros_like(c_s)
+
+    inp = x_ref[0]
+    for l in range(n_layers):
+        w_ih, w_hh, bias = w_refs[3 * l], w_refs[3 * l + 1], w_refs[3 * l + 2]
+        h = h_s[l]
+        c_prev = c_s[l]
+        gates = (
+            jnp.dot(inp, w_ih[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(w_hh.dtype), w_hh[:], preferred_element_type=jnp.float32)
+            + bias[:].astype(jnp.float32)
+        )
+        h_new, c_new, prefac, qf = _cell(gates, c_prev, H)
+        h_s[l] = h_new
+        c_s[l] = c_new
+        h_all_ref, prefac_ref, qf_ref = out_refs[3 * l : 3 * l + 3]
+        inp = h_new.astype(x_ref.dtype)
+        h_all_ref[0] = inp
+        prefac_ref[0] = prefac.astype(prefac_ref.dtype)
+        qf_ref[0] = qf.astype(qf_ref.dtype)
+
+
+def _fwd_infer_kernel(n_layers, H, *refs):
+    # refs: x, (w_ih, w_hh, b) × L | h_top_all | h_s, c_s
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + 3 * n_layers]
+    h_top_ref = refs[1 + 3 * n_layers]
+    h_s, c_s = refs[-2], refs[-1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[...] = jnp.zeros_like(h_s)
+        c_s[...] = jnp.zeros_like(c_s)
+
+    inp = x_ref[0]
+    for l in range(n_layers):
+        w_ih, w_hh, bias = w_refs[3 * l], w_refs[3 * l + 1], w_refs[3 * l + 2]
+        h = h_s[l]
+        c_prev = c_s[l]
+        gates = (
+            jnp.dot(inp, w_ih[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(w_hh.dtype), w_hh[:], preferred_element_type=jnp.float32)
+            + bias[:].astype(jnp.float32)
+        )
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c_new = f * c_prev + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_s[l] = h_new
+        c_s[l] = c_new
+        inp = h_new.astype(x_ref.dtype)
+    h_top_ref[0] = inp
+
+
+def _contract_rows(a, b):
+    """(Bt, M)ᵀ @ (Bt, N) → (M, N) without an explicit transpose relayout."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_kernel(n_layers, H, C, *refs):
+    # refs: g_top, x_t, (h_prev, prefac, qf, w_hh_t, w_ih_t) × L,
+    #       h_cur × (L-1) [inputs to layers 1..L-1 at time t],
+    # outs: dx, (dwih, dwhh, db) × L | scratch: dh_s, dc_s
+    g_ref = refs[0]
+    x_ref = refs[1]
+    per_l = refs[2 : 2 + 5 * n_layers]
+    h_cur = refs[2 + 5 * n_layers : 1 + 6 * n_layers]
+    dx_ref = refs[1 + 6 * n_layers]
+    dw_refs = refs[2 + 6 * n_layers : 2 + 9 * n_layers]
+    dh_s, dc_s = refs[-2], refs[-1]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    first = jnp.logical_and(t == 0, b == 0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_s[...] = jnp.zeros_like(dh_s)
+        dc_s[...] = jnp.zeros_like(dc_s)
+
+    @pl.when(first)
+    def _():
+        for r in dw_refs:
+            r[...] = jnp.zeros_like(r)
+
+    bf16 = per_l[1].dtype == jnp.bfloat16
+    # the final grid row processes time 0, where h_prev must read as zero
+    is_t0 = t == pl.num_programs(1) - 1
+    g_up = g_ref[0].astype(jnp.float32)  # upstream grad hits the top layer
+    for l in reversed(range(n_layers)):
+        h_prev_ref, prefac_ref, qf_ref, w_hh_t_ref, w_ih_t_ref = per_l[5 * l : 5 * l + 5]
+        dwih_ref, dwhh_ref, db_ref = dw_refs[3 * l : 3 * l + 3]
+        dh = dh_s[l] + g_up
+        dc = dc_s[l] + dh * qf_ref[0, :, :H].astype(jnp.float32)
+        if bf16:
+            # f32 accumulators, bf16 products (see pallas_lstm.py's notes)
+            dc_n, dh_n = dc.astype(jnp.bfloat16), dh.astype(jnp.bfloat16)
+        else:
+            dc_n, dh_n = dc, dh
+        pf = prefac_ref[0]
+        dgates = jnp.concatenate(
+            [dc_n * pf[:, :H], dc_n * pf[:, H : 2 * H], dc_n * pf[:, 2 * H : 3 * H],
+             dh_n * pf[:, 3 * H :]],
+            axis=-1,
+        )
+        # recurrent carry for this layer at the previous time step
+        dh_s[l] = jnp.dot(
+            dgates.astype(w_hh_t_ref.dtype), w_hh_t_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        dc_s[l] = dc * qf_ref[0, :, H:].astype(jnp.float32)
+        # weight grads accumulate into VMEM-resident f32 output blocks
+        # (constant index maps — no per-step HBM dgates stream)
+        h_prev = jnp.where(is_t0, jnp.zeros_like(pf[:, :H]), h_prev_ref[0])
+        inp = x_ref[0] if l == 0 else h_cur[l - 1][0]
+        dwih_ref[...] += _contract_rows(inp.astype(dgates.dtype), dgates)
+        dwhh_ref[...] += _contract_rows(h_prev.astype(dgates.dtype), dgates)
+        db_ref[...] += jnp.sum(dgates.astype(jnp.float32), axis=0, keepdims=True)
+        # chain to the layer below (dx for layer 0)
+        g_up = jnp.dot(
+            dgates.astype(w_ih_t_ref.dtype), w_ih_t_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+    dx_ref[0] = g_up.astype(dx_ref.dtype)
+
+
+def _row_spec(width, Bt):
+    return pl.BlockSpec((1, Bt, width), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM)
+
+
+def _rev_row_spec(width, Bt, T):
+    return pl.BlockSpec(
+        (1, Bt, width), lambda b, t: (T - 1 - t, b, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _whole_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b, t: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _layer_dims(x, layers):
+    C = x.shape[-1]
+    H = layers[0][1].shape[0]
+    for l, (w_ih, w_hh, bias) in enumerate(layers):
+        expect_in = C if l == 0 else H
+        if w_ih.shape != (expect_in, 4 * H) or w_hh.shape != (H, 4 * H):
+            raise ValueError(
+                f"layer {l}: w_ih {w_ih.shape} / w_hh {w_hh.shape} do not "
+                f"form a uniform stack (in={expect_in}, H={H})"
+            )
+    return C, H
+
+
+def _fwd_train_impl(x, layers):
+    T, B, C = x.shape
+    L = len(layers)
+    _, H = _layer_dims(x, layers)
+    Bt = _pick_tile(B, H, L, x.dtype.itemsize)
+    nb = B // Bt
+    four_h = 4 * H
+
+    in_specs = [_row_spec(C, Bt)]
+    args = [x]
+    for w_ih, w_hh, bias in layers:
+        in_specs += [
+            _whole_spec(w_ih.shape),
+            _whole_spec(w_hh.shape),
+            _whole_spec((1, four_h)),
+        ]
+        args += [w_ih, w_hh, bias.reshape(1, four_h)]
+    out_specs, out_shapes = [], []
+    for _ in range(L):
+        out_specs += [_row_spec(H, Bt), _row_spec(four_h, Bt), _row_spec(2 * H, Bt)]
+        out_shapes += [
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B, four_h), x.dtype),
+            jax.ShapeDtypeStruct((T, B, 2 * H), x.dtype),
+        ]
+    outs = pl.pallas_call(
+        functools.partial(_fwd_train_kernel, L, H),
+        grid=(nb, T),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * four_h * (C + H + (L - 1) * 2 * H) + 40 * L * T * B * four_h,
+            bytes_accessed=(x.size + 7 * L * T * B * H) * x.dtype.itemsize,
+            transcendentals=5 * L * T * B * H,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return outs  # [(h_all, prefac, qf)] × L flattened
+
+
+def _fwd_infer_impl(x, layers):
+    T, B, C = x.shape
+    L = len(layers)
+    _, H = _layer_dims(x, layers)
+    Bt = _pick_tile(B, H, L, x.dtype.itemsize)
+    nb = B // Bt
+    four_h = 4 * H
+
+    in_specs = [_row_spec(C, Bt)]
+    args = [x]
+    for w_ih, w_hh, bias in layers:
+        in_specs += [
+            _whole_spec(w_ih.shape),
+            _whole_spec(w_hh.shape),
+            _whole_spec((1, four_h)),
+        ]
+        args += [w_ih, w_hh, bias.reshape(1, four_h)]
+    return pl.pallas_call(
+        functools.partial(_fwd_infer_kernel, L, H),
+        grid=(nb, T),
+        in_specs=in_specs,
+        out_specs=_row_spec(H, Bt),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * four_h * (C + H + (L - 1) * 2 * H) + 10 * L * T * B * four_h,
+            bytes_accessed=(x.size + T * B * H) * x.dtype.itemsize,
+            transcendentals=5 * L * T * B * H,
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+
+@jax.custom_vjp
+def lstm_stack_pallas(x: jax.Array, layers: Sequence[Tuple[jax.Array, jax.Array, jax.Array]]):
+    """Fused multi-layer LSTM over time-major input.
+
+    x: (T, B, C); layers: sequence of (w_ih (in, 4H), w_hh (H, 4H), b (4H,))
+    with in = C for layer 0 and H after. Returns the TOP layer's hidden
+    states (T, B, H) in x's dtype. All layers share one hidden size H
+    (the torch nn.LSTM contract the reference's models assume).
+    """
+    layers = tuple(tuple(l) for l in layers)
+    return _fwd_infer_impl(x, layers)
+
+
+def _vjp_fwd(x, layers):
+    layers = tuple(tuple(l) for l in layers)
+    outs = _fwd_train_impl(x, layers)
+    h_top = outs[3 * (len(layers) - 1)]
+    return h_top, (x, layers, outs)
+
+
+def _vjp_bwd(residuals, g):
+    x, layers, outs = residuals
+    T, B, C = x.shape
+    L = len(layers)
+    H = layers[0][1].shape[0]
+    four_h = 4 * H
+    Bt = _pick_tile(B, H, L, x.dtype.itemsize)
+    nb = B // Bt
+
+    # h_all[l] at time t-1 feeds dW_hh[l]: reversed index map shifted one
+    # row further into the past; the time-0 row is masked to zero in-kernel
+    prev_spec = pl.BlockSpec(
+        (1, Bt, H),
+        lambda b, t: (jnp.maximum(T - 2 - t, 0), b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [_rev_row_spec(H, Bt, T), _rev_row_spec(C, Bt, T)]
+    args = [g.astype(x.dtype), x]
+    for l in range(L):
+        h_all, prefac, qf = outs[3 * l : 3 * l + 3]
+        w_ih, w_hh, _ = layers[l]
+        in_specs += [
+            prev_spec,
+            _rev_row_spec(four_h, Bt, T),
+            _rev_row_spec(2 * H, Bt, T),
+            _whole_spec((four_h, H)),
+            _whole_spec((four_h, C if l == 0 else H)),
+        ]
+        args += [h_all, prefac, qf, jnp.swapaxes(w_hh, 0, 1), jnp.swapaxes(w_ih, 0, 1)]
+    for l in range(L - 1):
+        # h_all[l] at time t: layer l+1's input row for dW_ih[l+1]
+        in_specs.append(_rev_row_spec(H, Bt, T))
+        args.append(outs[3 * l])
+    out_specs = [_rev_row_spec(C, Bt, T)]
+    out_shapes = [jax.ShapeDtypeStruct((T, B, C), x.dtype)]
+    for l in range(L):
+        in_dim = C if l == 0 else H
+        out_specs += [
+            _whole_spec((in_dim, four_h)),
+            _whole_spec((H, four_h)),
+            _whole_spec((1, four_h)),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((in_dim, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((H, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((1, four_h), jnp.float32),
+        ]
+    res = pl.pallas_call(
+        functools.partial(_bwd_kernel, L, H, C),
+        grid=(nb, T),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * four_h * (3 * H + C) * L + 20 * L * T * B * four_h,
+            bytes_accessed=(10 * L * T * B * H + 2 * x.size) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    dx = res[0]
+    dlayers = []
+    for l in range(L):
+        dwih, dwhh, db = res[1 + 3 * l : 4 + 3 * l]
+        w_ih, w_hh, bias = layers[l]
+        dlayers.append(
+            (dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype), db[0].astype(bias.dtype))
+        )
+    return dx, tuple(dlayers)
+
+
+lstm_stack_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def lstm_stack(
+    x: jax.Array,
+    layers: Sequence[Tuple[jax.Array, jax.Array, jax.Array]],
+    pad_lanes: int | None = None,
+) -> jax.Array:
+    """lstm_stack_pallas with hidden-size LANE PADDING.
+
+    TPU vregs are 128 lanes wide; an H that is not a multiple of 128 (the
+    reference's H=96) misaligns every gate slice, forcing cross-lane rotates
+    on most VPU ops (measured ~1.7× per-element overhead vs H=128). This
+    wrapper zero-pads each gate block of every weight to Hp = ceil(H/128)·128
+    and crops the result. The pad lanes stay EXACTLY zero through the
+    recurrence (zero weights/bias give i=f=o=0.5, g=0 ⇒ c=h=0) and through
+    the backward (zero w_hh/w_ih pad rows/cols kill every pad gradient), so
+    values and gradients are bit-identical to the unpadded kernel up to f32
+    associativity. Autodiff flows through the pad/crop, so the kernel's
+    custom VJP runs entirely in padded space.
+
+    pad_lanes: None = auto (128 on TPU, off elsewhere); 1 disables.
+    """
+    layers = tuple(tuple(l) for l in layers)
+    H = layers[0][1].shape[0]
+    if pad_lanes is None:
+        pad_lanes = 128 if jax.default_backend() == "tpu" else 1
+    Hp = _round_up(H, pad_lanes)
+    if Hp == H:
+        return lstm_stack_pallas(x, layers)
+
+    def pad_gate_cols(w, rows):
+        w4 = w.reshape(rows, 4, H)
+        return jnp.pad(w4, ((0, 0), (0, 0), (0, Hp - H))).reshape(rows, 4 * Hp)
+
+    padded = []
+    for l, (w_ih, w_hh, b) in enumerate(layers):
+        if l > 0:
+            w_ih = jnp.pad(w_ih, ((0, Hp - H), (0, 0)))
+        w_ih_p = pad_gate_cols(w_ih, w_ih.shape[0])
+        w_hh_p = pad_gate_cols(jnp.pad(w_hh, ((0, Hp - H), (0, 0))), Hp)
+        b_p = jnp.pad(b.reshape(4, H), ((0, 0), (0, Hp - H))).reshape(4 * Hp)
+        padded.append((w_ih_p, w_hh_p, b_p))
+    h = lstm_stack_pallas(x, tuple(padded))
+    return h[:, :, :H]

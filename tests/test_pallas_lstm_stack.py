@@ -1,0 +1,115 @@
+"""Parity of the fused multi-layer Pallas LSTM stack against the lax.scan
+reference (the same oracle pinning cerebra.models.pallas_lstm): forward
+values and ALL gradients (x, w_ih, w_hh, b per layer) must match, since the
+backward re-derives dW/db in-kernel instead of via XLA contractions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cerebra.models.pallas_lstm_stack import lstm_stack_pallas
+
+
+def scan_reference(x, layers):
+    """Time-major multi-layer LSTM via lax.scan (torch gate order)."""
+    h_seq = x
+    H = layers[0][1].shape[0]
+    for w_ih, w_hh, b in layers:
+        x_proj = h_seq @ w_ih + b
+
+        def step(carry, xp, w_hh=w_hh):
+            h, c = carry
+            gates = xp + h @ w_hh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        B = x.shape[1]
+        init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+        (_, _), h_seq = jax.lax.scan(step, init, x_proj)
+    return h_seq
+
+
+def make_case(T=6, B=8, C=5, H=4, L=3, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(T, B, C)).astype(np.float32))
+    layers = []
+    for l in range(L):
+        in_dim = C if l == 0 else H
+        layers.append(
+            (
+                jnp.asarray(rng.normal(size=(in_dim, 4 * H)).astype(np.float32)) * 0.4,
+                jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32)) * 0.4,
+                jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32)) * 0.1,
+            )
+        )
+    return x, tuple(layers)
+
+
+@pytest.mark.parametrize("L", [1, 2, 3])
+def test_forward_matches_scan(L):
+    x, layers = make_case(L=L)
+    got = lstm_stack_pallas(x, layers)
+    want = scan_reference(x, layers)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("L", [1, 2, 3])
+def test_grads_match_scan(L):
+    x, layers = make_case(T=5, B=8, C=5, H=4, L=L, seed=1)
+    # weight the output so every (t, b, h) position carries distinct signal
+    rng = np.random.default_rng(7)
+    w_out = jnp.asarray(rng.normal(size=(5, 8, 4)).astype(np.float32))
+
+    def loss_pallas(x, layers):
+        return jnp.sum(lstm_stack_pallas(x, layers) * w_out)
+
+    def loss_scan(x, layers):
+        return jnp.sum(scan_reference(x, layers) * w_out)
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1))(x, layers)
+    g_scan = jax.grad(loss_scan, argnums=(0, 1))(x, layers)
+    flat_p, _ = jax.tree.flatten(g_pallas)
+    flat_s, _ = jax.tree.flatten(g_scan)
+    assert len(flat_p) == len(flat_s) == 1 + 3 * L
+    for a, b in zip(flat_p, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
+def test_last_step_grad_only():
+    """The recipes' real cotangent shape: upstream grad only on h[-1]."""
+    x, layers = make_case(T=6, B=8, C=5, H=4, L=2, seed=3)
+
+    def head(fn):
+        def loss(x, layers):
+            return jnp.sum(fn(x, layers)[-1] ** 2)
+        return loss
+
+    g_p = jax.grad(head(lstm_stack_pallas), argnums=(0, 1))(x, layers)
+    g_s = jax.grad(head(scan_reference), argnums=(0, 1))(x, layers)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("L", [1, 2])
+def test_lane_padding_parity(L):
+    """Padded-H kernel (H=5 → Hp=8) matches the unpadded scan exactly."""
+    from cerebra.models.pallas_lstm_stack import lstm_stack
+
+    x, layers = make_case(T=5, B=8, C=5, H=5, L=L, seed=11)
+    got = lstm_stack(x, layers, pad_lanes=8)
+    want = scan_reference(x, layers)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    def loss_p(x, layers):
+        return jnp.sum(lstm_stack(x, layers, pad_lanes=8)[-1] ** 2)
+
+    def loss_s(x, layers):
+        return jnp.sum(scan_reference(x, layers)[-1] ** 2)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1))(x, layers)
+    g_s = jax.grad(loss_s, argnums=(0, 1))(x, layers)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
