@@ -36,8 +36,12 @@ def timeit(fn, *args, n_small=3, n_large=13):
 
 
 def _sync(out):
-    leaf = jax.tree.leaves(out)[0]
-    _ = float(leaf.reshape(-1)[0])
+    # fetch the LAST element of the LAST leaf: on the tunneled axon platform
+    # a leading element can be served once its block is written, before the
+    # computation finishes (block_until_ready is likewise unreliable) — for
+    # time-major streams only the final row proves the whole run completed
+    leaf = jax.tree.leaves(out)[-1]
+    _ = float(leaf.reshape(-1)[-1])
 
 
 def exp_baseline():
@@ -515,6 +519,243 @@ def exp_stack():
 
 
 EXPS["stack"] = exp_stack
+
+
+
+
+def exp_stackparts():
+    """Fused stack: fwd-infer vs fwd-train vs full grad, headline shapes."""
+    from cerebra.models import pallas_lstm_stack as S
+
+    rng = np.random.default_rng(0)
+    L, Hh, Tt = 2, 96, 460
+    Hp = 128
+    x = jnp.asarray(rng.normal(size=(Tt, B, H)) * 0.1, dtype=jnp.bfloat16)
+    layers = []
+    for l in range(L):
+        in_dim = H if l == 0 else Hp
+        layers.append((
+            jnp.asarray(rng.normal(size=(in_dim, 4 * Hp)) * 0.1, dtype=jnp.bfloat16),
+            jnp.asarray(rng.normal(size=(Hp, 4 * Hp)) * 0.1, dtype=jnp.bfloat16),
+            jnp.asarray(rng.normal(size=(4 * Hp,)) * 0.1, dtype=jnp.bfloat16),
+        ))
+    layers = tuple(layers)
+
+    ftrain = jax.jit(lambda xx, ll: S._fwd_train_impl(xx, ll))
+    dt = timeit(ftrain, x, layers)
+    print(f"[stackparts] fwd-train (padded H=128): {dt*1e3:.3f} ms ({dt/Tt*1e6:.2f} us/step)", flush=True)
+
+    finfer = jax.jit(lambda xx, ll: S._fwd_infer_impl(xx, ll))
+    dt = timeit(finfer, x, layers)
+    print(f"[stackparts] fwd-infer (padded H=128): {dt*1e3:.3f} ms ({dt/Tt*1e6:.2f} us/step)", flush=True)
+
+    grad = jax.jit(jax.grad(
+        lambda xx, ll: (S.lstm_stack_pallas(xx, ll)[-1] ** 2).sum(), argnums=(1,)))
+    dt = timeit(grad, x, layers)
+    print(f"[stackparts] fwd-train+bwd: {dt*1e3:.3f} ms ({dt/Tt*1e6:.2f} us/step)", flush=True)
+
+
+EXPS["stackparts"] = exp_stackparts
+
+
+
+
+def exp_planes():
+    """Variant B: true-width MXU (4H=384) + per-gate plane extraction.
+    The shipped kernel lane-pads H 96->128, inflating every matmul and the
+    prefac/qf streams by 33%. Here gates stay (Bt, 384) for the MXU; the
+    cell slices them into per-gate planes ONCE (3 rotates), runs all VPU
+    math on (Bt, 96) arrays (lane-padded vregs, no rotates), and stores
+    residuals as SEPARATE per-gate streams. Backward mirrors it: per-gate
+    plane loads, one concat (3 rotates) to rebuild dgates for the true-width
+    matmuls. fwd-train + full grad timed against the shipped padded kernel."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, Hh, Tt = 2, 96, 460
+    four_h = 4 * Hh
+    Bt = 512
+    nb = B // Bt
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(Tt, B, Hh)) * 0.1, dtype=dtype)
+    layers = []
+    for l in range(L):
+        layers.append((
+            jnp.asarray(rng.normal(size=(Hh, four_h)) * 0.1, dtype=dtype),
+            jnp.asarray(rng.normal(size=(Hh, four_h)) * 0.1, dtype=dtype),
+            jnp.asarray(rng.normal(size=(1, four_h)) * 0.1, dtype=dtype),
+        ))
+
+    def row(width):
+        return pl.BlockSpec((1, Bt, width), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM)
+
+    def rev(width):
+        return pl.BlockSpec((1, Bt, width), lambda b, t: (Tt - 1 - t, b, 0), memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b, t: (0,) * nd, memory_space=pltpu.VMEM)
+
+    def fwd_kernel(*refs):
+        x_ref = refs[0]
+        w = refs[1 : 1 + 3 * L]
+        outs = refs[1 + 3 * L : 1 + 3 * L + 7 * L]
+        h_s, c_s = refs[-2], refs[-1]
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_s[...] = jnp.zeros_like(h_s)
+            c_s[...] = jnp.zeros_like(c_s)
+
+        inp = x_ref[0]
+        for l in range(L):
+            w_ih, w_hh, bias = w[3 * l : 3 * l + 3]
+            h = h_s[l]
+            c_prev = c_s[l]
+            gates = (
+                jnp.dot(inp, w_ih[:], preferred_element_type=jnp.float32)
+                + jnp.dot(h.astype(w_hh.dtype), w_hh[:], preferred_element_type=jnp.float32)
+                + bias[:].astype(jnp.float32)
+            )
+            i = jax.nn.sigmoid(gates[:, :Hh])
+            f = jax.nn.sigmoid(gates[:, Hh : 2 * Hh])
+            g = jnp.tanh(gates[:, 2 * Hh : 3 * Hh])
+            o = jax.nn.sigmoid(gates[:, 3 * Hh :])
+            ig = i * g
+            c_new = f * c_prev + ig
+            tanh_c = jnp.tanh(c_new)
+            h_new = o * tanh_c
+            h_s[l] = h_new
+            c_s[l] = c_new
+            (h_ref, pi_ref, pf_ref, pg_ref, po_ref, q_ref, f_ref) = outs[7 * l : 7 * l + 7]
+            inp = h_new.astype(dtype)
+            h_ref[0] = inp
+            pi_ref[0] = (g * (i - i * i)).astype(dtype)
+            pf_ref[0] = (c_prev * (f - f * f)).astype(dtype)
+            pg_ref[0] = (i - g * ig).astype(dtype)
+            po_ref[0] = (tanh_c * (o - o * o)).astype(dtype)
+            q_ref[0] = (o - o * tanh_c * tanh_c).astype(dtype)
+            f_ref[0] = f.astype(dtype)
+
+    def fwd_train(x, layers):
+        in_specs = [row(Hh)]
+        args = [x]
+        for w_ih, w_hh, bias in layers:
+            in_specs += [whole(w_ih.shape), whole(w_hh.shape), whole(bias.shape)]
+            args += [w_ih, w_hh, bias]
+        out_specs, shapes = [], []
+        for _ in range(L):
+            out_specs += [row(Hh)] * 7
+            shapes += [jax.ShapeDtypeStruct((Tt, B, Hh), dtype)] * 7
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(nb, Tt),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=shapes,
+            scratch_shapes=[pltpu.VMEM((L, Bt, Hh), jnp.float32),
+                            pltpu.VMEM((L, Bt, Hh), jnp.float32)],
+        )(*args)
+
+    jfwd = jax.jit(fwd_train)
+    dt = timeit(jfwd, x, tuple(layers))
+    print(f"[planes] fwd-train true-width: {dt*1e3:.3f} ms ({dt/Tt*1e6:.2f} us/step)", flush=True)
+
+    # backward: per-gate plane loads, concat once for true-width matmuls
+    def bwd_kernel(*refs):
+        g_ref = refs[0]
+        x_ref = refs[1]
+        per_l = refs[2 : 2 + 9 * L]           # (h_prev, pi, pf, pg, po, q, f, w_hh_t, w_ih_t) x L
+        h_cur = refs[2 + 9 * L : 1 + 10 * L]  # L-1 streams
+        dx_ref = refs[1 + 10 * L]
+        dw = refs[2 + 10 * L : 2 + 13 * L]
+        dh_s, dc_s = refs[-2], refs[-1]
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        first = jnp.logical_and(t == 0, b == 0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_s[...] = jnp.zeros_like(dh_s)
+            dc_s[...] = jnp.zeros_like(dc_s)
+
+        @pl.when(first)
+        def _():
+            for r in dw:
+                r[...] = jnp.zeros_like(r)
+
+        is_t0 = t == pl.num_programs(1) - 1
+        g_up = g_ref[0].astype(jnp.float32)
+        for l in reversed(range(L)):
+            (h_prev_ref, pi_ref, pf_ref, pg_ref, po_ref, q_ref, f_ref,
+             w_hh_t_ref, w_ih_t_ref) = per_l[9 * l : 9 * l + 9]
+            dwih_ref, dwhh_ref, db_ref = dw[3 * l : 3 * l + 3]
+            dh = dh_s[l] + g_up
+            dc = dc_s[l] + dh * q_ref[0].astype(jnp.float32)
+            dc_n = dc.astype(dtype)
+            dh_n = dh.astype(dtype)
+            dgates = jnp.concatenate(
+                [dc_n * pi_ref[0], dc_n * pf_ref[0], dc_n * pg_ref[0], dh_n * po_ref[0]],
+                axis=-1)
+            dh_s[l] = jnp.dot(dgates, w_hh_t_ref[:], preferred_element_type=jnp.float32)
+            dc_s[l] = dc * f_ref[0].astype(jnp.float32)
+            h_prev = jnp.where(is_t0, jnp.zeros_like(pi_ref[0]), h_prev_ref[0])
+            inp = x_ref[0] if l == 0 else h_cur[l - 1][0]
+            dwih_ref[...] += jax.lax.dot_general(
+                inp, dgates, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwhh_ref[...] += jax.lax.dot_general(
+                h_prev, dgates, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db_ref[...] += jnp.sum(dgates.astype(jnp.float32), axis=0, keepdims=True)
+            g_up = jnp.dot(dgates, w_ih_t_ref[:], preferred_element_type=jnp.float32)
+        dx_ref[0] = g_up.astype(dtype)
+
+    def bwd(g, x, layers, fwd_outs):
+        prev_spec = pl.BlockSpec(
+            (1, Bt, Hh), lambda b, t: (jnp.maximum(Tt - 2 - t, 0), b, 0),
+            memory_space=pltpu.VMEM)
+        in_specs = [rev(Hh), rev(Hh)]
+        args = [g, x]
+        for l in range(L):
+            streams = fwd_outs[7 * l : 7 * l + 7]
+            w_ih, w_hh, _ = layers[l]
+            in_specs += [prev_spec] + [rev(Hh)] * 6 + [whole((four_h, Hh)), whole((four_h, Hh))]
+            args += [streams[0]] + list(streams[1:]) + [jnp.swapaxes(w_hh, 0, 1), jnp.swapaxes(w_ih, 0, 1)]
+        for l in range(L - 1):
+            in_specs.append(rev(Hh))
+            args.append(fwd_outs[7 * l])
+        out_specs = [rev(Hh)]
+        shapes = [jax.ShapeDtypeStruct((Tt, B, Hh), dtype)]
+        for l in range(L):
+            out_specs += [whole((Hh, four_h)), whole((Hh, four_h)), whole((1, four_h))]
+            shapes += [jax.ShapeDtypeStruct((Hh, four_h), jnp.float32),
+                       jax.ShapeDtypeStruct((Hh, four_h), jnp.float32),
+                       jax.ShapeDtypeStruct((1, four_h), jnp.float32)]
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(nb, Tt),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=shapes,
+            scratch_shapes=[pltpu.VMEM((L, Bt, Hh), jnp.float32),
+                            pltpu.VMEM((L, Bt, Hh), jnp.float32)],
+        )(*args)
+
+    def full(x, layers, g):
+        outs = fwd_train(x, layers)
+        return bwd(g, x, layers, outs)
+
+    g = jnp.asarray(rng.normal(size=(Tt, B, Hh)) * 0.1, dtype=dtype)
+    jfull = jax.jit(full)
+    dt = timeit(jfull, x, tuple(layers), g)
+    print(f"[planes] fwd-train+bwd true-width: {dt*1e3:.3f} ms ({dt/Tt*1e6:.2f} us/step)", flush=True)
+
+
+EXPS["planes"] = exp_planes
 
 
 if __name__ == "__main__":

@@ -48,10 +48,15 @@ def test_dino_distillation_and_teacher_eval(workdir):
     from cerebra.cli.lstm_distill_from_dinov2_eval import main as eval_main
 
     log = str(workdir / "dino")
+    # --devices 1: under the conftest's 8 virtual CPU devices the auto-mesh
+    # would shard this heavy 6-view step 8-ways on one host core and trip
+    # XLA CPU's collective rendezvous abort; DP equivalence at the CLI
+    # surface is covered by test_cli_multidevice.
     state, hist = dino_main(
         ["--synthetic", "--epochs", "2", "--batch_size_per_gpu", "8",
          "--out_dim", "64", "--log_dir", log, "--saveckp_freq", "0",
-         "--synthetic_classes", "4", "--synthetic_per_class", "8"]
+         "--synthetic_classes", "4", "--synthetic_per_class", "8",
+         "--devices", "1"]
     )
     assert np.isfinite(hist["loss"]).all()
     ckpt = os.path.join(log, "checkpoint.pth")
@@ -143,6 +148,7 @@ def test_training_is_deterministic(workdir):
     np.testing.assert_array_equal(histories[0], histories[1])
 
 
+@pytest.mark.slow
 def test_analysis_tools_smoke(workdir):
     from cerebra.cli.brain_map import main as brain_main
     from cerebra.cli.noise_probe import main as noise_main

@@ -19,6 +19,7 @@ from cerebra.models.resnet import ResnetFeatureRegressor, resnet50
 from cerebra.models.vit import VisionTransformer, import_dino_vit_torch, vit_tiny
 
 
+@pytest.mark.slow
 def test_conformer_bciiv_shape():
     """The reference trains on (B, 1, 22, 1000) BCI-IV data with 2440-dim
     flattened tokens (utils/Conformer.py:197-205)."""
@@ -62,6 +63,7 @@ def test_custom_model():
     assert m.apply(vars_, x).shape == (2, 1840)
 
 
+@pytest.mark.slow
 def test_resnet50_features_and_regressor():
     m = resnet50()
     x = jnp.zeros((1, 64, 64, 3))
@@ -73,6 +75,7 @@ def test_resnet50_features_and_regressor():
     assert reg.apply(rv, x, train=False).shape == (1, 128)
 
 
+@pytest.mark.slow
 def test_barlow_twins_towers():
     m = BarlowTwins(projector_sizes=(64, 64), eeg_in_channels=96)
     y1 = jnp.zeros((2, 64, 64, 3))

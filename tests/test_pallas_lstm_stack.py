@@ -94,6 +94,7 @@ def test_last_step_grad_only():
 
 
 @pytest.mark.parametrize("L", [1, 2])
+@pytest.mark.slow
 def test_lane_padding_parity(L):
     """Padded-H kernel (H=5 → Hp=8) matches the unpadded scan exactly."""
     from cerebra.models.pallas_lstm_stack import lstm_stack
@@ -113,3 +114,14 @@ def test_lane_padding_parity(L):
     g_s = jax.grad(loss_s, argnums=(0, 1))(x, layers)
     for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
+def test_lane_padding_forward_default():
+    """Cheap default-set guard for the padded path (full fwd+grad parity is
+    in the slow set): forward values through the lane-pad wrapper."""
+    from cerebra.models.pallas_lstm_stack import lstm_stack
+
+    x, layers = make_case(T=4, B=8, C=5, H=5, L=1, seed=12)
+    got = lstm_stack(x, layers, pad_lanes=8)
+    want = scan_reference(x, layers)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)

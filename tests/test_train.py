@@ -1,6 +1,7 @@
 """Training-layer tests: schedules vs reference formula, optimizer semantics,
 EMA, checkpoints round-trip, end-to-end recipes learn on synthetic data."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,6 +59,7 @@ def test_optimizer_zoo_builds_and_steps():
         assert jax.tree.structure(upd) == jax.tree.structure(params)
 
 
+@pytest.mark.slow
 def test_feature_distill_learns_synthetic():
     corpus = make_synthetic_corpus(
         seed=0, n_per_class=10, n_classes=5, n_channels=8, n_samples=64,
@@ -142,6 +144,7 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(back["b"]["c"]), 1.0)
 
 
+@pytest.mark.slow
 def test_dino_auto_resume(tmp_path):
     """Interrupt-and-resume: a run stopped after 1 epoch continues from its
     orbax checkpoint and lands at the same step count as an uninterrupted
