@@ -758,6 +758,77 @@ def exp_planes():
 EXPS["planes"] = exp_planes
 
 
+
+
+def exp_bwdstack():
+    """Backward-side variants of the fused stack at headline shapes:
+    (a) shipped (cost_estimate, Bt from _pick_tile),
+    (b) no cost_estimate,
+    (c) Bt=1024 (one batch tile),
+    each timed through the full fwd+bwd grad (sync on dW)."""
+    import functools
+    from cerebra.models import pallas_lstm_stack as S
+
+    rng = np.random.default_rng(0)
+    L, Hp, Tt = 2, 128, 460
+    x = jnp.asarray(rng.normal(size=(Tt, B, H)) * 0.1, dtype=jnp.bfloat16)
+    layers = []
+    for l in range(L):
+        in_dim = H if l == 0 else Hp
+        layers.append((
+            jnp.asarray(rng.normal(size=(in_dim, 4 * Hp)) * 0.1, dtype=jnp.bfloat16),
+            jnp.asarray(rng.normal(size=(Hp, 4 * Hp)) * 0.1, dtype=jnp.bfloat16),
+            jnp.asarray(rng.normal(size=(4 * Hp,)) * 0.1, dtype=jnp.bfloat16),
+        ))
+    layers = tuple(layers)
+
+    def run(tag):
+        grad = jax.jit(jax.grad(
+            lambda xx, ll: (S.lstm_stack_pallas(xx, ll)[-1] ** 2).sum(), argnums=(1,)))
+        dt = timeit(grad, x, layers)
+        print(f"[bwdstack] {tag}: {dt*1e3:.3f} ms ({dt/Tt*1e6:.2f} us/step)", flush=True)
+
+    run("shipped")
+
+    # (b) no cost estimate: monkeypatch CostEstimate away
+    import jax.experimental.pallas as pl
+    orig_ce = pl.CostEstimate
+    try:
+        pl.CostEstimate = lambda **kw: None
+        run("no-cost-estimate")
+    finally:
+        pl.CostEstimate = orig_ce
+
+    # (c) force a single 1024-row batch tile
+    orig_pick = S._pick_tile
+    try:
+        S._pick_tile = lambda B_, H_, L_, i_: B_
+        run("Bt=1024")
+    finally:
+        S._pick_tile = orig_pick
+
+    # (d) both
+    try:
+        pl.CostEstimate = lambda **kw: None
+        S._pick_tile = lambda B_, H_, L_, i_: B_
+        run("Bt=1024+no-cost")
+    finally:
+        pl.CostEstimate = orig_ce
+        S._pick_tile = orig_pick
+
+    # (e) smaller tile 256
+    def pick256(B_, H_, L_, i_):
+        return min(B_, 256)
+    try:
+        S._pick_tile = pick256
+        run("Bt=256")
+    finally:
+        S._pick_tile = orig_pick
+
+
+EXPS["bwdstack"] = exp_bwdstack
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)

@@ -290,11 +290,6 @@ def _fwd_train_impl(x, layers):
             pltpu.VMEM((L, Bt, H), jnp.float32),
             pltpu.VMEM((L, Bt, H), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * four_h * (C + H + (L - 1) * 2 * H) + 40 * L * T * B * four_h,
-            bytes_accessed=(x.size + 7 * L * T * B * H) * x.dtype.itemsize,
-            transcendentals=5 * L * T * B * H,
-        ),
         interpret=_interpret(),
     )(*args)
     return outs  # [(h_all, prefac, qf)] × L flattened
@@ -327,11 +322,6 @@ def _fwd_infer_impl(x, layers):
             pltpu.VMEM((L, Bt, H), jnp.float32),
             pltpu.VMEM((L, Bt, H), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * four_h * (C + H + (L - 1) * 2 * H) + 10 * L * T * B * four_h,
-            bytes_accessed=(x.size + T * B * H) * x.dtype.itemsize,
-            transcendentals=5 * L * T * B * H,
-        ),
         interpret=_interpret(),
     )(*args)
 
@@ -413,11 +403,6 @@ def _vjp_bwd(residuals, g):
             pltpu.VMEM((L, Bt, H), jnp.float32),
             pltpu.VMEM((L, Bt, H), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * four_h * (3 * H + C) * L + 20 * L * T * B * four_h,
-            bytes_accessed=(10 * L * T * B * H + 2 * x.size) * x.dtype.itemsize,
-            transcendentals=0,
-        ),
         interpret=_interpret(),
     )(*args)
     dx = res[0]
