@@ -60,15 +60,26 @@ class TransformerEncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype,
-            dropout_rate=self.drop_p, deterministic=not train,
-        )(h, h)
+        E, nh = self.emb_size, self.num_heads
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        # explicit attention: the reference scales the logits by
+        # √emb_size (utils/Conformer.py:115), NOT the usual √head_dim —
+        # with E=40, heads=10 that is a 3.16× colder softmax than flax's
+        # MultiHeadDotProductAttention would give. Pinned by the
+        # weight-mapped oracle in tests/test_conformer_exp.py.
+        B, N, _ = h.shape
+        q = nn.Dense(E, dtype=self.dtype, name="queries")(h).reshape(B, N, nh, E // nh)
+        k = nn.Dense(E, dtype=self.dtype, name="keys")(h).reshape(B, N, nh, E // nh)
+        v = nn.Dense(E, dtype=self.dtype, name="values")(h).reshape(B, N, nh, E // nh)
+        energy = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        att = jax.nn.softmax(energy / jnp.sqrt(float(E)), axis=-1).astype(q.dtype)
+        att = nn.Dropout(self.drop_p, deterministic=not train)(att)
+        h = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, N, E)
+        h = nn.Dense(E, dtype=self.dtype, name="projection")(h)
         x = x + nn.Dropout(self.drop_p, deterministic=not train)(h)
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Dense(self.forward_expansion * self.emb_size, dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # the reference's erf GELU (:146-148)
         h = nn.Dropout(self.forward_drop_p, deterministic=not train)(h)
         h = nn.Dense(self.emb_size, dtype=self.dtype)(h)
         return x + nn.Dropout(self.drop_p, deterministic=not train)(h)
