@@ -17,6 +17,7 @@ over the mesh's data axis when one is provided.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -199,7 +200,7 @@ def feature_distill_train(
             state, metrics = step(state, eeg_b, feats_b, labels_b, epoch)
             losses.append(metrics["loss"])
             n_seen += len(eeg_b)
-        epoch_loss = float(np.mean([float(l) for l in losses]))
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))  # one sync per epoch
         dt = time.perf_counter() - t0
         history["train_loss"].append(epoch_loss)
         history["epoch_time_s"].append(dt)
@@ -345,19 +346,27 @@ def dino_selfdistill_train(
         compat_reference_pairing=cfg.compat_reference_pairing,
     )
 
-    # Single chip: the whole corpus lives in HBM once; a batch is a
-    # device-side gather (no per-step host→device transfer). Meshed: batches
-    # are host-sliced and sharded over the data axis.
+    # Single chip: the whole corpus lives in HBM once and the batch GATHER
+    # runs inside the jitted step (one dispatch per step — remote/tunneled
+    # hosts pay real latency per Python-level jax op). Meshed: batches are
+    # host-sliced and sharded over the data axis.
     if mesh is None:
         eeg_dev = jnp.asarray(np.asarray(train_eeg, dtype=np.float32))
 
-        def put_batch(idx):
-            return eeg_dev[jnp.asarray(idx)]
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_step(state, idx, sub, eeg):
+            # eeg is a runtime ARGUMENT: closing over the device corpus
+            # would bake ~hundreds of MB into the compiled HLO as a constant
+            return step(state, eeg[idx], sub)
+
+        def step_call(state, idx, sub):
+            return run_step(state, jnp.asarray(idx), sub, eeg_dev)
     else:
         eeg_host = np.asarray(train_eeg, dtype=np.float32)
 
-        def put_batch(idx):
-            return jax.device_put(jnp.asarray(eeg_host[idx]), data_sharding(mesh, 3))
+        def step_call(state, idx, sub):
+            batch = jax.device_put(jnp.asarray(eeg_host[idx]), data_sharding(mesh, 3))
+            return step(state, batch, sub)
     history: Dict[str, List] = {"loss": [], "epoch_time_s": [], "windows_per_s": []}
 
     start_epoch = 0
@@ -379,14 +388,18 @@ def dino_selfdistill_train(
         t0 = time.perf_counter()
         batches, _ = epoch_batches(n, global_batch, seed=cfg.seed, epoch=epoch)
         batches = batches[:niter_per_ep]
+        # one split for the whole epoch (not one dispatch per step); the
+        # stream stays keyed off the resume-fast-forwarded `key`
+        key, ek = jax.random.split(key)
+        subs = jax.random.split(ek, len(batches))
         losses = []
         for it, idx in enumerate(batches):
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, put_batch(idx), sub)
+            state, metrics = step_call(state, idx, subs[it])
             losses.append(metrics["loss"])
             if resume is not None:
                 latest["state"] = state  # preemption handler sees fresh state
-        loss = float(np.mean([float(l) for l in losses]))
+        # ONE host sync per epoch (each float() is a round trip)
+        loss = float(jnp.mean(jnp.stack(losses)))
         dt = time.perf_counter() - t0
         history["loss"].append(loss)
         history["epoch_time_s"].append(dt)
