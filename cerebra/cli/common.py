@@ -96,7 +96,10 @@ def make_cli_mesh(FLAGS, global_batch=None):
 
 def init_distributed() -> None:
     """Multi-host init (replaces init_distributed_mode, utils/utils.py:
-    467-503): jax.distributed picks coordinator/rank from the environment;
+    467-503): like the reference's env:// path, RANK/WORLD_SIZE name this
+    process when set (jax.distributed itself only reads the coordinator
+    address from the environment; SLURM/OMPI ranks are auto-detected by its
+    cluster probes, matching the reference's SLURM_PROCID branch);
     single-process runs need nothing."""
     import jax
 
@@ -110,7 +113,12 @@ def init_distributed() -> None:
         except Exception:
             pass
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        kw = {}
+        if os.environ.get("WORLD_SIZE"):
+            kw["num_processes"] = int(os.environ["WORLD_SIZE"])
+        if os.environ.get("RANK"):
+            kw["process_id"] = int(os.environ["RANK"])
+        jax.distributed.initialize(**kw)
 
 
 def load_corpus(FLAGS, subset=None, subject=None) -> EEGCorpus:
