@@ -53,18 +53,46 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_tile(B: int, H: int, n_layers: int, itemsize: int) -> int:
-    """Largest divisor of B whose double-buffered per-step blocks
-    (~7H/layer each way + x) plus the per-tile f32 carries fit VMEM.
-    The grid is batch-OUTER (one tile runs its whole time loop before the
-    next starts), so carry scratch scales with the tile, not with B."""
+def _tile_cap(H: int, n_layers: int, itemsize: int) -> int:
+    """Largest batch tile whose double-buffered per-step blocks (~7H/layer
+    each way + x) plus the per-tile f32 carries fit VMEM."""
     per_row = 8 * n_layers * H + 2 * (16 * H * n_layers + 4 * H) * itemsize
-    tile = max(min(B, _VMEM_BUDGET // per_row), 8)
-    if B <= tile:
+    return max(_VMEM_BUDGET // per_row, 8)
+
+
+def _pick_tile(B: int, H: int, n_layers: int, itemsize: int) -> int:
+    """Largest SUBLANE-ALIGNED divisor of B under the VMEM cap.
+
+    The grid is batch-OUTER (one tile runs its whole time loop before the
+    next starts), so carry scratch scales with the tile, not with B.
+    Mosaic requires a block's second-to-last dim to be a multiple of 8
+    unless it equals the whole array dim — so a partial tile must be
+    8-aligned (a 400-batch eval once picked tile=100 and failed to lower
+    on hardware; interpret mode never checks this)."""
+    cap = _tile_cap(H, n_layers, itemsize)
+    if B <= cap:
         return B
-    while B % tile != 0:
-        tile -= 1
-    return tile
+    for tile in range(min(B - 1, cap) // 8 * 8, 0, -8):
+        if B % tile == 0:
+            return tile
+    raise ValueError(
+        f"batch {B} has no 8-aligned tile under the VMEM cap {cap}; "
+        f"pad the batch (lstm_stack does this automatically)"
+    )
+
+
+def _padded_batch(B: int, H: int, n_layers: int, itemsize: int) -> int:
+    """Smallest padded batch ≥ B that _pick_tile can tile, balancing tile
+    size across ceil(B/cap) grid rows (waste < 8 rows per grid row)."""
+    cap = _tile_cap(H, n_layers, itemsize)
+    if B <= cap:
+        return B
+    for tile in range(min(B - 1, cap) // 8 * 8, 0, -8):
+        if B % tile == 0:
+            return B  # an aligned divisor exists; no padding needed
+    nb = -(-B // cap)
+    tile = _round_up(-(-B // nb), 8)
+    return nb * tile
 
 
 def _cell(gates, c_prev, H):
@@ -448,20 +476,31 @@ def lstm_stack(
     if pad_lanes is None:
         pad_lanes = 128 if jax.default_backend() == "tpu" else 1
     Hp = _round_up(H, pad_lanes)
-    if Hp == H:
-        return lstm_stack_pallas(x, layers)
 
-    def pad_gate_cols(w, rows):
-        w4 = w.reshape(rows, 4, H)
-        return jnp.pad(w4, ((0, 0), (0, 0), (0, Hp - H))).reshape(rows, 4 * Hp)
+    if Hp != H:
 
-    padded = []
-    for l, (w_ih, w_hh, b) in enumerate(layers):
-        if l > 0:
-            w_ih = jnp.pad(w_ih, ((0, Hp - H), (0, 0)))
-        w_ih_p = pad_gate_cols(w_ih, w_ih.shape[0])
-        w_hh_p = pad_gate_cols(jnp.pad(w_hh, ((0, Hp - H), (0, 0))), Hp)
-        b_p = jnp.pad(b.reshape(4, H), ((0, 0), (0, Hp - H))).reshape(4 * Hp)
-        padded.append((w_ih_p, w_hh_p, b_p))
-    h = lstm_stack_pallas(x, tuple(padded))
-    return h[:, :, :H]
+        def pad_gate_cols(w, rows):
+            w4 = w.reshape(rows, 4, H)
+            return jnp.pad(w4, ((0, 0), (0, 0), (0, Hp - H))).reshape(rows, 4 * Hp)
+
+        padded = []
+        for l, (w_ih, w_hh, b) in enumerate(layers):
+            if l > 0:
+                w_ih = jnp.pad(w_ih, ((0, Hp - H), (0, 0)))
+            w_ih_p = pad_gate_cols(w_ih, w_ih.shape[0])
+            w_hh_p = pad_gate_cols(jnp.pad(w_hh, ((0, Hp - H), (0, 0))), Hp)
+            b_p = jnp.pad(b.reshape(4, H), ((0, 0), (0, Hp - H))).reshape(4 * Hp)
+            padded.append((w_ih_p, w_hh_p, b_p))
+        layers = tuple(padded)
+
+    # BATCH padding: partial tiles must be 8-aligned on TPU (see _pick_tile);
+    # pad rows are zeros, their outputs/gradients are cropped away below
+    B = x.shape[1]
+    Bp = _padded_batch(B, Hp, len(layers), x.dtype.itemsize)
+    if Bp != B:
+        x = jnp.pad(x, ((0, 0), (0, Bp - B), (0, 0)))
+
+    h = lstm_stack_pallas(x, layers)
+    if Bp != B:
+        h = h[:, :B]
+    return h[:, :, :H] if Hp != H else h

@@ -125,3 +125,47 @@ def test_lane_padding_forward_default():
     got = lstm_stack(x, layers, pad_lanes=8)
     want = scan_reference(x, layers)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_pick_tile_partial_tiles_are_sublane_aligned():
+    """A 400-row eval batch once picked tile=100 (divides B, not 8-aligned)
+    and failed Mosaic lowering on hardware — partial tiles must be %8==0."""
+    from cerebra.models import pallas_lstm_stack as mod
+
+    for B in [400, 1600, 1024, 2000, 96]:
+        tile = mod._pick_tile(B, 128, 4, 4)
+        assert B % tile == 0
+        assert tile == B or tile % 8 == 0, (B, tile)
+
+
+def test_batch_padding_parity(monkeypatch):
+    """When B has no 8-aligned divisor under the VMEM cap, lstm_stack pads
+    the batch with zero rows and crops; values and grads match the scan."""
+    from cerebra.models import pallas_lstm_stack as mod
+    from cerebra.models.pallas_lstm_stack import lstm_stack
+
+    x, layers = make_case(T=5, B=29, C=5, H=8, L=2, seed=3)
+    # shrink the VMEM budget so cap ≈ 8 < 29; 29 (prime) has no aligned divisor
+    per_row = 8 * 2 * 8 + 2 * (16 * 8 * 2 + 4 * 8) * 4
+    monkeypatch.setattr(mod, "_VMEM_BUDGET", 8 * per_row)
+    cap = mod._tile_cap(8, 2, 4)
+    assert cap < 29
+    assert mod._padded_batch(29, 8, 2, 4) > 29  # padding engages
+
+    got = lstm_stack(x, layers, pad_lanes=1)
+    want = scan_reference(x, layers)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    def loss_pallas(x, layers):
+        return jnp.sum(lstm_stack(x, layers, pad_lanes=1)[-1] ** 2)
+
+    def loss_scan(x, layers):
+        return jnp.sum(scan_reference(x, layers)[-1] ** 2)
+
+    gx, gl = jax.grad(loss_pallas, argnums=(0, 1))(x, layers)
+    wx, wl = jax.grad(loss_scan, argnums=(0, 1))(x, layers)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-4, rtol=1e-4)
+    for (a, b, c), (d, e, f) in zip(gl, wl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(e), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(f), atol=1e-4, rtol=1e-4)
