@@ -139,36 +139,71 @@ def feature_distill_train(
             return feature_distribution_loss_v3(feats, teacher_feats, temps[epoch])
         raise ValueError(f"unknown loss: {cfg.loss}")
 
-    step = make_feature_distill_step(model.apply, tx, loss_fn)
-
-    # Device-resident corpora. Single chip: whole corpus on device, batches
-    # are device-side gathers. Meshed: batches are host-sliced then sharded
-    # over the data axis (the DistributedSampler equivalent) so each chip
-    # holds 1/N of every batch and jit inserts the gradient psum.
+    # Device-resident corpora. Single chip: whole corpus on device and the
+    # epoch's full-size batches run as ONE lax.scan dispatch (gather inside
+    # jit; the ragged tail is one extra call with its own signature).
+    # Meshed: batches are host-sliced then sharded over the data axis (the
+    # DistributedSampler equivalent) so each chip holds 1/N of every batch
+    # and jit inserts the gradient psum.
     if mesh is not None:
+        step = make_feature_distill_step(model.apply, tx, loss_fn)
         state = jax.device_put(state, replicated(mesh))
         n_data = mesh.shape[mesh.axis_names[0]]
 
-        def get_batch(idx, epoch_unused=None):
-            # a sharded batch dim must divide the data-axis size; trim the
-            # ragged tail to the nearest multiple (drops < n_devices samples
-            # per epoch, reshuffled every epoch)
-            usable = len(idx) // n_data * n_data
-            idx = idx[:usable]
-            if usable == 0:
-                return None
-            return (
-                jax.device_put(jnp.asarray(train_eeg[idx]), data_sharding(mesh, 3)),
-                jax.device_put(jnp.asarray(train_feats[idx]), data_sharding(mesh, 2)),
-                jax.device_put(jnp.asarray(train_labels[idx]), data_sharding(mesh, 1)),
-            )
+        def epoch_call(state, batches, epoch):
+            losses, n_seen = [], 0
+            for idx in batches:
+                # a sharded batch dim must divide the data-axis size; trim
+                # the ragged tail to the nearest multiple (drops < n_devices
+                # samples per epoch, reshuffled every epoch)
+                usable = len(idx) // n_data * n_data
+                if usable == 0:
+                    continue
+                idx = idx[:usable]
+                eeg_b = jax.device_put(jnp.asarray(train_eeg[idx]), data_sharding(mesh, 3))
+                feats_b = jax.device_put(jnp.asarray(train_feats[idx]), data_sharding(mesh, 2))
+                labels_b = jax.device_put(jnp.asarray(train_labels[idx]), data_sharding(mesh, 1))
+                state, metrics = step(state, eeg_b, feats_b, labels_b, epoch)
+                losses.append(metrics["loss"])
+                n_seen += usable
+            return state, jnp.stack(losses), n_seen
     else:
+        raw_step = make_feature_distill_step(model.apply, tx, loss_fn, jit=False)
+        tail_step = make_feature_distill_step(model.apply, tx, loss_fn)
         train_eeg_d = jnp.asarray(train_eeg)
         train_feats_d = jnp.asarray(train_feats)
         train_labels_d = jnp.asarray(train_labels)
 
-        def get_batch(idx, epoch_unused=None):
-            return train_eeg_d[idx], train_feats_d[idx], train_labels_d[idx]
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_batches(state, idx_mat, epoch, eeg, feats, labels):
+            # corpora are runtime ARGUMENTS (closure capture would bake them
+            # into the compiled HLO as constants)
+            def body(st, idx):
+                st, metrics = raw_step(st, eeg[idx], feats[idx], labels[idx], epoch)
+                return st, metrics["loss"]
+
+            return jax.lax.scan(body, state, idx_mat)
+
+        def epoch_call(state, batches, epoch):
+            full = [b for b in batches if len(b) == cfg.batch_size]
+            losses = jnp.zeros((0,), jnp.float32)
+            n_seen = 0
+            if full:
+                state, losses = run_batches(
+                    state, jnp.asarray(np.stack(full)), epoch,
+                    train_eeg_d, train_feats_d, train_labels_d,
+                )
+                n_seen += len(full) * cfg.batch_size
+            for idx in batches:
+                if len(idx) == cfg.batch_size:
+                    continue
+                state, metrics = tail_step(
+                    state, train_eeg_d[jnp.asarray(idx)], train_feats_d[jnp.asarray(idx)],
+                    train_labels_d[jnp.asarray(idx)], epoch,
+                )
+                losses = jnp.concatenate([losses, metrics["loss"][None]])
+                n_seen += len(idx)
+            return state, losses, n_seen
 
     transform = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
 
@@ -190,17 +225,8 @@ def feature_distill_train(
         batches = list(order[:full].reshape(-1, cfg.batch_size))
         if full < n_train:
             batches.append(order[full:])
-        losses = []
-        n_seen = 0
-        for idx in batches:
-            batch = get_batch(idx)
-            if batch is None:  # meshed ragged tail smaller than the mesh
-                continue
-            eeg_b, feats_b, labels_b = batch
-            state, metrics = step(state, eeg_b, feats_b, labels_b, epoch)
-            losses.append(metrics["loss"])
-            n_seen += len(eeg_b)
-        epoch_loss = float(jnp.mean(jnp.stack(losses)))  # one sync per epoch
+        state, losses, n_seen = epoch_call(state, batches, epoch)
+        epoch_loss = float(jnp.mean(losses))  # one sync per epoch
         dt = time.perf_counter() - t0
         history["train_loss"].append(epoch_loss)
         history["epoch_time_s"].append(dt)
@@ -329,7 +355,7 @@ def dino_selfdistill_train(
         center=jnp.zeros((1, cfg.out_dim), dtype=jnp.float32),
     )
 
-    step = make_dino_step(
+    step_kwargs = dict(
         backbone_apply=lambda p, x: backbone.apply(p, x, features_only=True),
         head_apply=lambda p, f: head.apply(p, f),
         tx=tx,
@@ -346,27 +372,41 @@ def dino_selfdistill_train(
         compat_reference_pairing=cfg.compat_reference_pairing,
     )
 
-    # Single chip: the whole corpus lives in HBM once and the batch GATHER
-    # runs inside the jitted step (one dispatch per step — remote/tunneled
-    # hosts pay real latency per Python-level jax op). Meshed: batches are
-    # host-sliced and sharded over the data axis.
+    # Single chip: the whole corpus lives in HBM once, and the WHOLE EPOCH
+    # runs as one lax.scan dispatch — the batch gather, all views, and every
+    # optimizer step stay on device (a remote/tunneled host pays real
+    # latency per Python-level jax op, and even locally per-step dispatch
+    # is dead time between 40 ms steps). Meshed: batches are host-sliced
+    # and sharded over the data axis per step (multi-host corpora stream
+    # from their local hosts).
     if mesh is None:
+        raw_step = make_dino_step(jit=False, **step_kwargs)
         eeg_dev = jnp.asarray(np.asarray(train_eeg, dtype=np.float32))
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def run_step(state, idx, sub, eeg):
+        def run_epoch(state, idx_mat, subs, eeg):
             # eeg is a runtime ARGUMENT: closing over the device corpus
             # would bake ~hundreds of MB into the compiled HLO as a constant
-            return step(state, eeg[idx], sub)
+            def body(st, args):
+                idx, sub = args
+                st, metrics = raw_step(st, eeg[idx], sub)
+                return st, metrics["loss"]
 
-        def step_call(state, idx, sub):
-            return run_step(state, jnp.asarray(idx), sub, eeg_dev)
+            return jax.lax.scan(body, state, (idx_mat, subs))
+
+        def epoch_call(state, batches, subs):
+            return run_epoch(state, jnp.asarray(np.stack(batches)), subs, eeg_dev)
     else:
+        step = make_dino_step(**step_kwargs)
         eeg_host = np.asarray(train_eeg, dtype=np.float32)
 
-        def step_call(state, idx, sub):
-            batch = jax.device_put(jnp.asarray(eeg_host[idx]), data_sharding(mesh, 3))
-            return step(state, batch, sub)
+        def epoch_call(state, batches, subs):
+            losses = []
+            for it, idx in enumerate(batches):
+                batch = jax.device_put(jnp.asarray(eeg_host[idx]), data_sharding(mesh, 3))
+                state, metrics = step(state, batch, subs[it])
+                losses.append(metrics["loss"])
+            return state, jnp.stack(losses)
     history: Dict[str, List] = {"loss": [], "epoch_time_s": [], "windows_per_s": []}
 
     start_epoch = 0
@@ -392,14 +432,11 @@ def dino_selfdistill_train(
         # stream stays keyed off the resume-fast-forwarded `key`
         key, ek = jax.random.split(key)
         subs = jax.random.split(ek, len(batches))
-        losses = []
-        for it, idx in enumerate(batches):
-            state, metrics = step_call(state, idx, subs[it])
-            losses.append(metrics["loss"])
-            if resume is not None:
-                latest["state"] = state  # preemption handler sees fresh state
+        state, losses = epoch_call(state, batches, subs)
+        if resume is not None:
+            latest["state"] = state  # preemption handler granularity: one epoch
         # ONE host sync per epoch (each float() is a round trip)
-        loss = float(jnp.mean(jnp.stack(losses)))
+        loss = float(jnp.mean(losses))
         dt = time.perf_counter() - t0
         history["loss"].append(loss)
         history["epoch_time_s"].append(dt)

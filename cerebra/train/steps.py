@@ -35,6 +35,7 @@ def make_feature_distill_step(
     tx: optax.GradientTransformation,
     loss_fn: Callable,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Step for the LstmDistillFromDinoV2Train recipe (call stack SURVEY.md
     §3.1): LSTM forward on EEG → loss against cached teacher features.
@@ -52,6 +53,8 @@ def make_feature_distill_step(
         state = state.apply_gradients(grads=grads)
         return state, {"loss": loss}
 
+    if not jit:
+        return step  # raw step: callers embed it in a lax.scan epoch loop
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -85,6 +88,7 @@ def make_dino_step(
     center_momentum: float = 0.9,
     freeze_last_layer: int = 1,
     compat_reference_pairing: bool = False,
+    jit: bool = True,
 ):
     """One DINO iteration (call stack SURVEY.md §3.2), fully fused: view
     construction (default: random temporal multi-crop; pluggable via
@@ -157,6 +161,8 @@ def make_dino_step(
         )
         return new_state, {"loss": loss, "lr": lr, "wd": wd, "momentum": m}
 
+    if not jit:
+        return step  # raw step: callers embed it in a lax.scan epoch loop
     return jax.jit(step, donate_argnums=(0,))
 
 
