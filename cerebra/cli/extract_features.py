@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from cerebra.cli.common import reference_argparser
-from cerebra.data.sources import extract_features, image_folder_source
+from cerebra.data.sources import extract_features, image_folder_source, synthetic_image_source
 from cerebra.models.dino_model import DinoArgs, DinoModel
 
 
@@ -38,7 +38,13 @@ def main(argv=None):
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
 
-    source = image_folder_source(FLAGS.images_root)
+    if FLAGS.synthetic:
+        source = synthetic_image_source(
+            n_classes=FLAGS.synthetic_classes, per_class=FLAGS.synthetic_per_class,
+            image_size=FLAGS.image_size, seed=FLAGS.seed,
+        )
+    else:
+        source = image_folder_source(FLAGS.images_root)
     print(f"{source.n} images over {source.catalog.n_classes} classes")
 
     if FLAGS.teacher == "transformers":

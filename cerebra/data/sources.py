@@ -188,3 +188,24 @@ def domainnet_source(root: str, domain: str = "", n_classes: int = 0) -> ImageSo
 
     return image_folder_source(_os.path.join(root, domain) if domain else root,
                                n_classes=n_classes)
+
+
+def synthetic_image_source(
+    n_classes: int = 8, per_class: int = 12, image_size: int = 224, seed: int = 0
+) -> ImageSource:
+    """In-memory synthetic image backend (zero-egress analog of the image
+    folders): per-class Gaussian-noise images with a class-specific mean
+    shift — the GaussNoise control-image idea (utils/GaussNoise.py:4-50)
+    turned into a dataset so every image-consuming CLI runs --synthetic."""
+    rng = np.random.default_rng(seed)
+    n = n_classes * per_class
+    labels = np.repeat(np.arange(n_classes), per_class).astype(np.int32)
+    means = rng.uniform(64, 192, size=(n_classes, 1, 1, 3))
+    imgs = rng.normal(means[labels], 32.0, size=(n, image_size, image_size, 3))
+    names = tuple(f"synthclass{i}" for i in range(n_classes))
+    return ImageSource(
+        paths=None,
+        labels=labels,
+        catalog=LabelCatalog(names, names, tuple(str(i) for i in range(n_classes))),
+        images=np.clip(imgs, 0, 255).astype(np.uint8),
+    )
