@@ -66,8 +66,11 @@ def main(argv=None):
         eval_every=FLAGS.eval_every, seed=FLAGS.seed,
         dtype=jnp.bfloat16 if FLAGS.use_bf16 else None,
     )
-    # effective batch doubles (real + augmented), like the reference's concat
-    mesh = make_cli_mesh(FLAGS, global_batch=2 * FLAGS.batch_size)
+    # per-step batch = real + augmented, like the reference's concat; the
+    # augmented count is max(batch//n_classes,1)*n_classes (conformer_recipe),
+    # NOT batch — clamp the mesh to what the step actually shards
+    n_aug = max(FLAGS.batch_size // cfg.n_classes, 1) * cfg.n_classes
+    mesh = make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size + n_aug)
 
     results = []
     for subject in FLAGS.subjects:

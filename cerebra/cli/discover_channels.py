@@ -80,7 +80,6 @@ def main(argv=None):
                        "channel_names": names,
                        "elapsed_s": dt}, f, indent=2)
         return res
-    t0 = time.perf_counter()
     result = greedy_channel_discovery_entry(FLAGS, corpus, eeg, train_idx, test_idx)
     return result
 

@@ -82,10 +82,12 @@ def main(argv=None):
 
         model = vit_small_dinov2()
         variables = import_dinov2_vit_torch(sd)
-        probe = jax.jit(lambda x: model.apply(variables, x))
+        # params as a runtime argument — a closure would bake all ~22M
+        # weights into the compiled HLO as constants
+        probe = jax.jit(model.apply)
         feats = extract_features(
             source,
-            lambda batch: np.asarray(probe(jnp.asarray(batch))),
+            lambda batch: np.asarray(probe(variables, jnp.asarray(batch))),
             preprocess=lambda img: dino_image_transform(img, FLAGS.image_size),
             image_size=FLAGS.image_size,
         )

@@ -44,12 +44,17 @@ class IndexFlatL2:
         self._chunks = []
 
     def search(self, q, k: int):
+        query = np.ascontiguousarray(np.asarray(q), dtype=np.float32).reshape(-1, self.d)
+        if not self._chunks:  # faiss on an empty index: sentinel fill, no crash
+            return (
+                np.full((len(query), int(k)), np.float32(3.4028235e38)),
+                np.full((len(query), int(k)), -1, dtype=np.int64),
+            )
         gallery = (
             np.concatenate(self._chunks, axis=0)
             if len(self._chunks) != 1
             else self._chunks[0]
         )
-        query = np.ascontiguousarray(np.asarray(q), dtype=np.float32).reshape(-1, self.d)
         D, I = topk_l2_native(gallery, query, int(k))
         return D, I
 

@@ -72,9 +72,20 @@ def _pick_tile(B: int, tile: int, H: int = 96, itemsize: int = 2) -> int:
     tile = min(tile, int(cap))
     if B <= tile:
         return B
-    while B % tile != 0:
-        tile -= 1
-    return tile
+    # partial tiles must be sublane-aligned (%8) or Mosaic refuses to lower
+    # (the same hardware-only constraint fixed in pallas_lstm_stack)
+    for t in range(tile // 8 * 8, 0, -8):
+        if B % t == 0:
+            return t
+    if _interpret():  # no Mosaic constraints off-TPU: keep lab flexibility
+        while B % tile != 0:
+            tile -= 1
+        return tile
+    raise ValueError(
+        f"batch {B} has no 8-aligned tile ≤ {tile}; pad the batch to a "
+        f"multiple of 8 (lstm_stack in pallas_lstm_stack does this "
+        f"automatically — prefer it for product paths)"
+    )
 
 
 def _gate_slices(gates, H):

@@ -103,9 +103,14 @@ def filter_frequency_bands(raw, l_freq: float, h_freq: float,
     from cerebra.signal.filters import design_bandpass, filtfilt
 
     spec = design_bandpass(l_freq, h_freq, fs=sampling_freq, order=4)
-    filtered = np.asarray(filtfilt(spec, jnp.asarray(raw.get_data(), jnp.float32)))
-    return RawBundle(filtered, list(raw.channel_names), list(raw.channel_types),
-                     raw.sampling_freq)
+    # the reference band-passes TWICE (filter_data at MNE_Utils.py:44, then
+    # .filter() again on the copy at :49) — a quirk, but behavior-defining;
+    # both our mne path and this fallback reproduce it so the two paths agree
+    filtered = jnp.asarray(raw.get_data(), jnp.float32)
+    for _ in range(2):
+        filtered = filtfilt(spec, filtered)
+    return RawBundle(np.asarray(filtered), list(raw.channel_names),
+                     list(raw.channel_types), raw.sampling_freq)
 
 
 def montage_available() -> bool:

@@ -241,7 +241,12 @@ def conformer_exp_train(
 
     for epoch in range(cfg.n_epochs):
         t0 = time.perf_counter()
-        order = np.random.default_rng((cfg.seed, epoch)).permutation(n)[: niter * cfg.batch_size]
+        order = np.random.default_rng((cfg.seed, epoch)).permutation(n)
+        need = niter * cfg.batch_size
+        if need > n:  # training set smaller than one batch: wrap-pad
+            order = np.concatenate([order, order[: need - n]])
+        else:
+            order = order[:need]
         loss = None
         for it, idx in enumerate(order.reshape(niter, cfg.batch_size)):
             key, k_aug, k_drop = jax.random.split(key, 3)

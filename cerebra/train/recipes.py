@@ -166,6 +166,8 @@ def feature_distill_train(
                 state, metrics = step(state, eeg_b, feats_b, labels_b, epoch)
                 losses.append(metrics["loss"])
                 n_seen += usable
+            if not losses:  # every batch smaller than the mesh's data axis
+                return state, jnp.full((1,), jnp.nan, jnp.float32), 0
             return state, jnp.stack(losses), n_seen
     else:
         raw_step = make_feature_distill_step(model.apply, tx, loss_fn, jit=False)

@@ -167,3 +167,13 @@ def test_extract_features_dinov2_jax_cli(tmp_path):
     bank = np.load(out)
     assert bank["features"].shape == (4, 384)
     assert np.isfinite(bank["features"]).all()
+
+
+def test_dino_image_transform_large_crop():
+    """image_size > 256 (DINOv2's native 518) must not produce negative
+    center-crop offsets — the resize short side grows to fit the crop."""
+    from cerebra.models.dino_model import dino_image_transform
+
+    img = (np.random.default_rng(0).uniform(0, 255, (333, 500, 3))).astype(np.uint8)
+    out = dino_image_transform(img, image_size=518)
+    assert out.shape == (518, 518, 3)

@@ -126,3 +126,13 @@ def test_faiss_stub_matches_device_topk():
     D2, I2 = l2_topk(jnp.asarray(gallery), jnp.asarray(query), 5)
     np.testing.assert_array_equal(I1, np.asarray(I2))
     np.testing.assert_allclose(D1, np.asarray(D2), rtol=1e-4, atol=1e-4)
+
+
+def test_faiss_stub_empty_index_returns_sentinels():
+    """faiss semantics on an empty index: sentinel-filled (D, I), no crash."""
+    from cerebra.eval import faiss_stub
+
+    idx = faiss_stub.IndexFlatL2(4)
+    D, I = idx.search(np.zeros((3, 4), np.float32), 5)
+    assert D.shape == (3, 5) and I.shape == (3, 5)
+    assert (I == -1).all()
