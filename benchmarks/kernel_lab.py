@@ -18,10 +18,22 @@ import numpy as np
 B, T, H = 1024, 460, 96
 
 
-def timeit(fn, *args, n_small=3, n_large=13):
+def timeit(fn, *args, n_small=None, n_large=None):
+    """Differenced timing: (time of N reps) − (time of n reps) cancels the
+    tunnel's fixed sync cost. The rep gap must dwarf tunnel jitter (several
+    ms) or sub-ms kernels come out negative — size it so the differenced
+    window is ≥ ~100 ms of device time."""
     for _ in range(2):
         out = fn(*args)
     _sync(out)
+    if n_small is None:
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(*args)
+        _sync(out)
+        probe = max((time.perf_counter() - t0) / 3, 1e-5)
+        gap = max(int(0.1 / probe), 10)
+        n_small, n_large = 3, 3 + gap
     t0 = time.perf_counter()
     for _ in range(n_small):
         out = fn(*args)
@@ -169,48 +181,68 @@ EXPS = {"baseline": exp_baseline, "vpu": exp_vpu, "grid": exp_grid}
 
 
 
+def device_loop_time(fn, *args, n=64):
+    """Time `fn(*args)` by running it n times INSIDE one jit via fori_loop —
+    sub-ms ops cannot be timed per-dispatch through the tunnel (the
+    dispatch floor is ~1.4 ms/call). The first input is perturbed by the
+    loop index so LICM can't hoist the op, and the scalar carry depends on
+    every iteration's output so nothing is dead-code-eliminated. All
+    operands are jit ARGUMENTS (closures would bake them into the HLO
+    upload — a 482 MB operand once blew the remote-compile body limit)."""
+
+    @jax.jit
+    def reps(*args):
+        def body(i, acc):
+            out = fn(args[0] + (i * 1e-12).astype(args[0].dtype), *args[1:])
+            return acc + jax.tree.leaves(out)[-1].reshape(-1)[-1].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dt = timeit(reps, *args)
+    return dt / n
+
+
 def exp_parts():
     """Non-LSTM components of the bench step: filter matmul f32 vs bf16,
-    x_proj matmul + dW_ih einsum, loss+opt — where the remaining ~4.9 ms
-    lives."""
+    x_proj matmul + dW_ih einsum — timed with on-device repeat loops."""
     from cerebra.signal.filters import design_bandpass, zero_phase_matrix
 
     rng = np.random.default_rng(0)
     C, T_RAW = 96, 512
     spec = design_bandpass(14.0, 71.0, fs=1000.0, order=4)
     raw = jnp.asarray(rng.normal(size=(B, C, T_RAW)).astype(np.float32))
+    raw_bf16 = raw.astype(jnp.bfloat16)
     for dtype in (jnp.float32, jnp.bfloat16):
         W = zero_phase_matrix(spec, T_RAW, num_taps=257, dtype=dtype)
-
-        @jax.jit
-        def filt(x, W=W):
-            return jnp.dot(x.astype(W.dtype), W, preferred_element_type=jnp.float32)
-
-        dt = timeit(filt, raw)
+        dt = device_loop_time(
+            lambda x, W: jnp.dot(x.astype(W.dtype), W, preferred_element_type=jnp.float32),
+            raw, W,
+        )
         print(f"[parts] filter matmul {dtype.__name__}: {dt*1e3:.3f} ms", flush=True)
+    # io-dtype variants: the LSTM consumes bf16, so the f32 output (201 MB)
+    # and f32 raw input are pure bandwidth waste
+    Wb = zero_phase_matrix(spec, T_RAW, num_taps=257, dtype=jnp.bfloat16)
+    dt = device_loop_time(
+        lambda x, W: jnp.dot(x.astype(W.dtype), W).astype(jnp.bfloat16), raw, Wb)
+    print(f"[parts] filter f32 in / bf16 out: {dt*1e3:.3f} ms", flush=True)
+    dt = device_loop_time(lambda x, W: jnp.dot(x, W).astype(jnp.bfloat16), raw_bf16, Wb)
+    print(f"[parts] filter bf16 in / bf16 out: {dt*1e3:.3f} ms", flush=True)
 
     # x_proj + dW_ih (fwd + bwd matmuls of one layer)
     x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32), dtype=jnp.bfloat16)
     w_ih = jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32), dtype=jnp.bfloat16)
 
-    @jax.jit
-    def xproj_fwdbwd(x, w):
-        def f(w):
-            return (x @ w).sum()
-        return jax.grad(f)(w)
-
-    dt = timeit(xproj_fwdbwd, x, w_ih)
+    dt = device_loop_time(
+        lambda x, w_ih: jax.grad(lambda w: (x @ w).sum())(w_ih), x, w_ih
+    )
     print(f"[parts] x_proj fwd+dW bf16 (1 layer): {dt*1e3:.3f} ms", flush=True)
 
     # dW_hh einsum over the whole stream
     h_prev = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32), dtype=jnp.bfloat16)
     dxs = jnp.asarray(rng.normal(size=(T, B, 4 * H)).astype(np.float32), dtype=jnp.bfloat16)
 
-    @jax.jit
-    def dwhh(hp, dx):
-        return jnp.einsum("tbh,tbg->hg", hp, dx, preferred_element_type=jnp.float32)
-
-    dt = timeit(dwhh, h_prev, dxs)
+    dt = device_loop_time(lambda hp, dxs: jnp.einsum(
+        "tbh,tbg->hg", hp, dxs, preferred_element_type=jnp.float32), h_prev, dxs)
     print(f"[parts] dW_hh einsum bf16 (1 layer): {dt*1e3:.3f} ms", flush=True)
 
 
