@@ -95,9 +95,12 @@ def compute_map(
         ap = compute_ap(pos, len(qgnd))
         map_ += ap
         aps[i] = ap
+        # precision@k over 1-BASED positions (utils/utils.py:807-810: pos += 1
+        # before kq = min(max(pos), kappa) and the <= comparison)
+        pos1 = pos + 1
         for j, kappa in enumerate(kappas):
-            kq = min(max(pos), kappa)
-            prs[i, j] = (pos < kq).sum() / kq if kq > 0 else 0.0
+            kq = min(max(pos1), kappa)
+            prs[i, j] = (pos1 <= kq).sum() / kq if kq > 0 else 0.0
         pr = pr + prs[i, :]
     denom = max(nq - nempty, 1)
     return map_ / denom, aps, pr / denom, prs

@@ -97,3 +97,58 @@ def test_lars_matches_reference_single_step(ref_utils):
     updates, _ = tx.update({"w": jnp.asarray(g_np)}, state, params)
     ours_w = np.asarray(optax.apply_updates(params, updates)["w"])
     np.testing.assert_allclose(ours_w, ref_w, rtol=1e-4, atol=1e-6)
+
+
+def test_compute_ap_map_match_reference(ref_utils):
+    """compute_ap/compute_map pinned to the reference's own implementations
+    (utils/utils.py:712-816) on randomized retrieval problems incl. junk
+    lists and empty-gnd queries."""
+    from cerebra.eval.metrics import compute_ap, compute_map
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n_db, n_q = 30, 6
+        ranks = np.stack([rng.permutation(n_db) for _ in range(n_q)], axis=1)
+        gnd = []
+        for qi in range(n_q):
+            n_ok = rng.integers(0, 8)
+            pool = rng.permutation(n_db)
+            gnd.append({
+                "ok": np.asarray(pool[:n_ok]),
+                "junk": np.asarray(pool[n_ok : n_ok + rng.integers(0, 5)]),
+            })
+        kappas = [1, 5, 10]
+        ours = compute_map(ranks, gnd, kappas)
+        theirs = ref_utils.compute_map(ranks, [dict(g) for g in gnd], kappas)
+        np.testing.assert_allclose(ours[0], theirs[0], rtol=1e-12, err_msg=f"trial {trial}")
+        np.testing.assert_allclose(ours[1], theirs[1], rtol=1e-12)
+        np.testing.assert_allclose(ours[2], theirs[2], rtol=1e-12)
+        np.testing.assert_allclose(ours[3], theirs[3], rtol=1e-12)
+
+    for nres in (1, 3, 7):
+        ranks1 = np.sort(rng.choice(20, size=4, replace=False))
+        np.testing.assert_allclose(
+            compute_ap(ranks1, nres), ref_utils.compute_ap(ranks1, nres), rtol=1e-12
+        )
+
+
+def test_pca_whitening_matches_reference(ref_utils):
+    """PCA + whitening pinned to the reference class (utils/utils.py:658-709):
+    same covariance in, same whitened projection out (numpy path)."""
+    from cerebra.eval.metrics import PCA
+
+    rng = np.random.default_rng(11)
+    feats = rng.normal(size=(40, 16)).astype(np.float64)
+    cov = np.cov(feats, rowvar=False)
+    x = rng.normal(size=(5, 16)).astype(np.float64)
+
+    ref_pca = ref_utils.PCA(dim=8, whit=0.5)
+    ref_pca.train_pca(cov.copy())
+    want = ref_pca.apply(x.copy())
+
+    ours = PCA(dim=8, whit=0.5)
+    ours.train_pca(cov.copy())
+    got = ours.apply(x.copy())
+    # eigh eigenvector signs are arbitrary but deterministic for the same
+    # LAPACK — both run the same numpy, so exact comparison holds
+    np.testing.assert_allclose(got, want, rtol=1e-10)
