@@ -115,8 +115,19 @@ def multi_scale(samples: jax.Array, model_fn) -> jax.Array:
         if s == 1.0:
             inp = samples
         else:
-            inp = jax.image.resize(
-                samples, (B, int(H * s), int(W * s), C), method="bilinear"
+            # torch F.interpolate(scale_factor=s, align_corners=False)
+            # parity needs BOTH: no antialiasing on downsample (jax default
+            # antialiases) and sampling by the LITERAL float scale s, not
+            # the out/in integer-size ratio. In pixel-CENTER coordinates the
+            # half-pixel mapping src=(dst+0.5)/s−0.5 is a pure scale, so
+            # scale_and_translate with scale=s, translation=0 is exact
+            # (verified bit-close against torch at 16→11)
+            out_hw = (int(H * s), int(W * s))
+            inp = jax.image.scale_and_translate(
+                samples, (B, *out_hw, C), (1, 2),
+                jnp.asarray([s, s], samples.dtype),
+                jnp.zeros((2,), samples.dtype),
+                method="bilinear", antialias=False,
             )
         feats = model_fn(inp)
         v = feats if v is None else v + feats

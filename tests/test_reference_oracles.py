@@ -152,3 +152,66 @@ def test_pca_whitening_matches_reference(ref_utils):
     # eigh eigenvector signs are arbitrary but deterministic for the same
     # LAPACK — both run the same numpy, so exact comparison holds
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_accuracy_matches_reference(ref_utils):
+    """top-k accuracy pinned to utils/utils.py:506-513."""
+    import torch
+
+    from cerebra.eval.metrics import accuracy
+
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(32, 10)).astype(np.float32)
+    labels = rng.integers(0, 10, size=32)
+    want = ref_utils.accuracy(
+        torch.from_numpy(logits), torch.from_numpy(labels), topk=(1, 3, 5)
+    )
+    got = accuracy(logits, labels, topk=(1, 3, 5))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(float(g), float(w), rtol=1e-6)
+
+
+def test_smoothed_value_matches_reference(ref_utils):
+    """SmoothedValue windowed median/avg/global_avg/max pinned to
+    utils/utils.py:224-283 on a shared random update stream."""
+    from cerebra.utils.logging import SmoothedValue
+
+    rng = np.random.default_rng(5)
+    ref = ref_utils.SmoothedValue(window_size=7)
+    ours = SmoothedValue(window_size=7)
+    for _ in range(25):
+        v = float(rng.normal())
+        n = int(rng.integers(1, 4))
+        ref.update(v, n=n)
+        ours.update(v, n=n)
+    np.testing.assert_allclose(ours.median, ref.median, rtol=1e-6)
+    np.testing.assert_allclose(ours.avg, ref.avg, rtol=1e-6)
+    np.testing.assert_allclose(ours.global_avg, ref.global_avg, rtol=1e-6)
+    np.testing.assert_allclose(ours.max, ref.max, rtol=1e-6)
+    np.testing.assert_allclose(ours.value, ref.value, rtol=1e-6)
+
+
+def test_multi_scale_matches_reference(ref_utils):
+    """multi_scale pinned to utils/utils.py:819-833 with a shared linear
+    probe model — also pins jax.image.resize(bilinear, half-pixel) against
+    torch F.interpolate(align_corners=False) at the 1/√2 and 1/2 scales."""
+    import torch
+
+    from cerebra.eval.metrics import multi_scale
+
+    rng = np.random.default_rng(9)
+    img = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)  # NCHW
+    proj = rng.normal(size=(3, 5)).astype(np.float32)
+
+    def torch_model(x):  # (B,C,H,W) -> (B,5): spatial mean then projection
+        return x.mean(dim=(2, 3)) @ torch.from_numpy(proj)
+
+    want = ref_utils.multi_scale(torch.from_numpy(img), torch_model).numpy()
+
+    import jax.numpy as jnp
+
+    def jax_model(x):  # NHWC
+        return x.mean(axis=(1, 2)) @ jnp.asarray(proj)
+
+    got = np.asarray(multi_scale(jnp.asarray(img.transpose(0, 2, 3, 1)), jax_model))
+    np.testing.assert_allclose(got, want, atol=1e-5)
