@@ -215,3 +215,46 @@ def test_multi_scale_matches_reference(ref_utils):
 
     got = np.asarray(multi_scale(jnp.asarray(img.transpose(0, 2, 3, 1)), jax_model))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tile_eeg_to_image_matches_reference(monkeypatch):
+    """resizeEEGToImageSize pinned to the reference's own method
+    (utils/EEGDataset.py:248-303): same repeat/crop/3-channel algebra. The
+    only randomness is the column-window start — we compute ours, then pin
+    the reference's np.random.randint to the same value."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from cerebra.signal.windows import tile_eeg_to_image
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from cerebra.eval import faiss_stub
+        from tests._reference_stubs import stub_torchvision
+
+        faiss_stub.install()  # the reference module imports faiss at top level
+        stub_torchvision()
+        from utils.EEGDataset import EEGDataset
+    except Exception as e:
+        pytest.skip(f"reference EEGDataset not importable: {e}")
+    finally:
+        sys.path.remove(REFERENCE)
+
+    rng = np.random.default_rng(13)
+    C, T, size = 5, 9, 16
+    eeg = rng.normal(size=(C, T)).astype(np.float32)
+
+    key = jax.random.key(4)
+    ours = np.asarray(tile_eeg_to_image(key, jnp.asarray(eeg), size=size))
+
+    # recover the start our key produced (same derivation as the function)
+    reps_c = size // T + 1
+    width = T * reps_c
+    start = int(jax.random.randint(key, (), 0, max(width - size, 1)))
+    monkeypatch.setattr(np.random, "randint", lambda lo, hi: start)
+
+    self = types.SimpleNamespace(isDataTransformed=True)
+    want = EEGDataset.resizeEEGToImageSize(self, input_data=eeg, imageShape=(size, size))
+    np.testing.assert_allclose(ours, want, rtol=1e-6)
