@@ -258,3 +258,69 @@ def test_tile_eeg_to_image_matches_reference(monkeypatch):
     self = types.SimpleNamespace(isDataTransformed=True)
     want = EEGDataset.resizeEEGToImageSize(self, input_data=eeg, imageShape=(size, size))
     np.testing.assert_allclose(ours, want, rtol=1e-6)
+
+
+def test_conformer_interaug_matches_reference(monkeypatch):
+    """S&R augmentation pinned to the reference's own ExP.interaug triple
+    loop (utils/Conformer.py:254-281): our vectorized diagonal gather must
+    reproduce it exactly when fed the same random draws. The reference draws
+    an 8-vector per (trial, segment) and uses only element [rj] (its own
+    quirk) — we script np.random.randint to emit vectors whose [rj] is our
+    jax-sampled index, and np.random.permutation to our shuffle."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cerebra.train.conformer_recipe import make_interaug
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from tests._reference_stubs import stub_torchvision
+
+        stub_torchvision()
+        if "torchsummary" not in sys.modules:  # reference imports it at top
+            mod = types.ModuleType("torchsummary")
+            mod.summary = lambda *a, **k: None
+            sys.modules["torchsummary"] = mod
+        from utils.Conformer import ExP
+    except Exception as e:
+        pytest.skip(f"reference Conformer not importable: {e}")
+    finally:
+        sys.path.remove(REFERENCE)
+
+    rng = np.random.default_rng(17)
+    n_per_class, n_classes, C, T = 6, 4, 22, 1000  # reference hardcodes 22x1000/8
+    N = n_per_class * n_classes
+    data = rng.normal(size=(N, 1, C, T)).astype(np.float64)
+    labels0 = np.repeat(np.arange(n_classes), n_per_class)  # ours: 0-based, sorted
+    batch_size = 16  # → 4 aug outputs per class
+
+    ours_fn = make_interaug(data.astype(np.float32), labels0, n_classes,
+                            batch_size // n_classes, n_segments=8)
+    key = jax.random.key(21)
+    ours_x, ours_y = ours_fn(key)
+
+    # reproduce our index draws exactly as make_interaug does
+    k_idx, k_shuf = jax.random.split(key)
+    counts = np.full((n_classes,), n_per_class)
+    idx = np.asarray(jax.random.randint(
+        k_idx, (n_classes, batch_size // n_classes, 8), 0,
+        jnp.asarray(counts)[:, None, None]))
+    perm = np.asarray(jax.random.permutation(k_shuf, n_classes * (batch_size // n_classes)))
+
+    draws = iter(
+        np.asarray([idx[cls, ri, rj]] * 8)
+        for cls in range(n_classes)
+        for ri in range(batch_size // n_classes)
+        for rj in range(8)
+    )
+    monkeypatch.setattr(np.random, "randint", lambda lo, hi, size: next(draws))
+    monkeypatch.setattr(np.random, "permutation", lambda n: perm)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self: self, raising=False)
+
+    self = types.SimpleNamespace(batch_size=batch_size)
+    want_x, want_y = ExP.interaug(self, data, labels0 + 1)  # reference: 1-based labels
+    np.testing.assert_allclose(np.asarray(ours_x), want_x.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ours_y), want_y.numpy())
