@@ -66,11 +66,9 @@ def main(argv=None):
         eval_every=FLAGS.eval_every, seed=FLAGS.seed,
         dtype=jnp.bfloat16 if FLAGS.use_bf16 else None,
     )
-    # per-step batch = real + augmented, like the reference's concat; the
-    # augmented count is max(batch//n_classes,1)*n_classes (conformer_recipe),
-    # NOT batch — clamp the mesh to what the step actually shards
-    n_aug = max(FLAGS.batch_size // cfg.n_classes, 1) * cfg.n_classes
-    mesh = make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size + n_aug)
+    # per-step batch = real + augmented, like the reference's concat —
+    # cfg.step_batch is the one shared formula for what the step shards
+    mesh = make_cli_mesh(FLAGS, global_batch=cfg.step_batch)
 
     results = []
     for subject in FLAGS.subjects:

@@ -30,14 +30,16 @@ def dino_image_transform(image: np.ndarray, image_size: int = 224) -> np.ndarray
     if img.max() > 2.0:
         img = img / 255.0
     H, W = img.shape[:2]
-    # short side 256 like the reference transform, but never smaller than
-    # the crop itself (image_size > 256, e.g. DINOv2's native 518, would
-    # otherwise make the center-crop offsets negative)
-    scale = max(256.0, float(image_size)) / min(H, W)
-    img = jax.image.resize(
-        img, (max(round(H * scale), image_size), max(round(W * scale), image_size), 3),
-        "bilinear",
-    )
+    # short side resized EXACTLY to 256 (torchvision Resize semantics: long
+    # side truncates via int()), but never smaller than the crop itself
+    # (image_size > 256, e.g. DINOv2's native 518, would otherwise make the
+    # center-crop offsets negative)
+    target = max(256, int(image_size))
+    if H <= W:
+        new_h, new_w = target, int(target * W / H)
+    else:
+        new_h, new_w = int(target * H / W), target
+    img = jax.image.resize(img, (new_h, new_w, 3), "bilinear")
     top = (img.shape[0] - image_size) // 2
     left = (img.shape[1] - image_size) // 2
     img = img[top : top + image_size, left : left + image_size]

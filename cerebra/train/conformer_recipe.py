@@ -51,6 +51,17 @@ class ExPConfig:
     seed: int = 0
     dtype: Any = None
 
+    @property
+    def n_aug_per_class(self) -> int:
+        """S&R outputs per class per step (reference: batch_size/4)."""
+        return max(self.batch_size // self.n_classes, 1)
+
+    @property
+    def step_batch(self) -> int:
+        """Rows the optimizer step actually shards: real + augmented —
+        the ONE formula the CLI mesh clamp and the training loop share."""
+        return self.batch_size + self.n_aug_per_class * self.n_classes
+
 
 def load_bciiv_mat(root: str, subject: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """BCI-IV 2a ingest (utils/Conformer.py:281-320): returns standardized
@@ -175,9 +186,8 @@ def conformer_exp_train(
     tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
     opt_state = tx.init(params)
 
-    n_aug_per_class = max(cfg.batch_size // cfg.n_classes, 1)
     interaug = make_interaug(
-        train_data, train_labels, cfg.n_classes, n_aug_per_class, cfg.n_segments
+        train_data, train_labels, cfg.n_classes, cfg.n_aug_per_class, cfg.n_segments
     )
 
     def step(params, batch_stats, opt_state, x, y, drop_key):
@@ -243,8 +253,8 @@ def conformer_exp_train(
         t0 = time.perf_counter()
         order = np.random.default_rng((cfg.seed, epoch)).permutation(n)
         need = niter * cfg.batch_size
-        if need > n:  # training set smaller than one batch: wrap-pad
-            order = np.concatenate([order, order[: need - n]])
+        if need > n:  # training set smaller than one batch: cyclic wrap-pad
+            order = np.resize(order, need)
         else:
             order = order[:need]
         loss = None
