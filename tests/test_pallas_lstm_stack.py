@@ -169,3 +169,35 @@ def test_batch_padding_parity(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(d), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(b), np.asarray(e), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(c), np.asarray(f), atol=1e-4, rtol=1e-4)
+
+
+def test_random_shape_sweep_matches_scan():
+    """Randomized (T, B, C, H, L) sweep incl. odd/unaligned sizes: forward
+    and weight-gradient parity with the scan reference — insurance against
+    shape-specific indexing bugs in the fused kernel (its historical failure
+    class; values in interpret mode, alignment guarded by _pick_tile tests)."""
+    from cerebra.models.pallas_lstm_stack import lstm_stack
+
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        T = int(rng.integers(2, 9))
+        B = int(rng.integers(1, 20))
+        C = int(rng.integers(1, 9))
+        H = int(rng.integers(1, 11))
+        L = int(rng.integers(1, 4))
+        x, layers = make_case(T=T, B=B, C=C, H=H, L=L, seed=100 + trial)
+        got = lstm_stack(x, layers, pad_lanes=8 if trial % 2 else 1)
+        want = scan_reference(x, layers)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5,
+            err_msg=f"fwd trial {trial}: T={T} B={B} C={C} H={H} L={L}",
+        )
+
+        gl = jax.grad(lambda ll: jnp.sum(lstm_stack(x, ll, pad_lanes=1)[-1] ** 2))(layers)
+        wl = jax.grad(lambda ll: jnp.sum(scan_reference(x, ll)[-1] ** 2))(layers)
+        for (a, b, c), (d, e, f) in zip(gl, wl):
+            for g1, g2 in ((a, d), (b, e), (c, f)):
+                np.testing.assert_allclose(
+                    np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=2e-4,
+                    err_msg=f"grad trial {trial}: T={T} B={B} C={C} H={H} L={L}",
+                )
