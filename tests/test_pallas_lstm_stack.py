@@ -171,6 +171,7 @@ def test_batch_padding_parity(monkeypatch):
         np.testing.assert_allclose(np.asarray(c), np.asarray(f), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_random_shape_sweep_matches_scan():
     """Randomized (T, B, C, H, L) sweep incl. odd/unaligned sizes: forward
     and weight-gradient parity with the scan reference — insurance against
