@@ -85,3 +85,104 @@ def test_dino_multicrop_loss_matches_reference(ref_dino_loss_cls):
         )
         assert abs(float(ours_loss) - ref_loss) < 1e-5, (epoch, float(ours_loss), ref_loss)
         center_prev = np.asarray(new_center)
+
+
+@pytest.fixture(scope="module")
+def ref_train_module():
+    """Import the reference's LstmDistillFromDinoV2Train module (its
+    `from models.lstm import Model` line targets a module MISSING from the
+    repo — SURVEY §2.4 — so we stub it; main is __main__-guarded)."""
+    from cerebra.eval import faiss_stub
+
+    faiss_stub.install()  # utils.Utilities imports faiss at module level
+    _stub_torchvision()
+    if "models.lstm" not in sys.modules:
+        pkg = types.ModuleType("models")
+        mod = types.ModuleType("models.lstm")
+        mod.Model = object
+        pkg.lstm = mod
+        sys.modules.setdefault("models", pkg)
+        sys.modules["models.lstm"] = mod
+    sys.path.insert(0, REFERENCE)
+    try:
+        import LstmDistillFromDinoV2Train as ref_mod  # noqa: PLC0415
+    except Exception as e:
+        pytest.skip(f"reference train module not importable: {e}")
+    finally:
+        sys.path.remove(REFERENCE)
+    return ref_mod
+
+
+def test_single_pair_dino_loss_matches_reference(ref_train_module):
+    """The single-pair DINOLoss variant (LstmDistillFromDinoV2Train.py:45-105)
+    vs cerebra.losses.dino_single_pair_loss: loss AND center EMA chained over
+    epochs under a live gloo group."""
+    import torch
+    import torch.distributed as dist
+
+    import jax.numpy as jnp
+
+    from cerebra.losses import dino_single_pair_loss
+
+    if not dist.is_initialized():
+        os.environ.setdefault("MASTER_ADDR", "127.0.0.1")
+        os.environ.setdefault("MASTER_PORT", "29512")
+        try:
+            dist.init_process_group("gloo", rank=0, world_size=1)
+        except Exception as e:
+            pytest.skip(f"gloo group unavailable: {e}")
+
+    out_dim, B = 12, 6
+    ref_loss = ref_train_module.DINOLoss(
+        out_dim, ncrops=2, warmup_teacher_temp=0.03, teacher_temp=0.06,
+        warmup_teacher_temp_epochs=2, nepochs=5,
+    )
+    rng = np.random.default_rng(1)
+    center = jnp.zeros((1, out_dim), jnp.float32)
+    for epoch in range(5):
+        s = rng.normal(size=(B, out_dim)).astype(np.float32)
+        t = rng.normal(size=(B, out_dim)).astype(np.float32)
+        want = float(ref_loss(torch.from_numpy(s), torch.from_numpy(t), epoch))
+        temp = ref_loss.teacher_temp_schedule[epoch]
+        got, center = dino_single_pair_loss(
+            jnp.asarray(s), jnp.asarray(t), center, teacher_temp=float(temp)
+        )
+        np.testing.assert_allclose(float(got), want, rtol=1e-5, err_msg=f"epoch {epoch}")
+        np.testing.assert_allclose(
+            np.asarray(center), ref_loss.center.numpy(), rtol=1e-5, atol=1e-7,
+            err_msg=f"center epoch {epoch}",
+        )
+
+
+def test_feature_distribution_loss_v1_matches_reference(ref_train_module):
+    """FeatureDistributionLoss (LstmDistillFromDinoV2Train.py:107-146) vs
+    our feature_distribution_loss_v1, incl. the CE-on-probabilities quirk
+    and the HyperParams α/β it reads globally."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from cerebra.losses import feature_distribution_loss_v1
+
+    hp = ref_train_module.HyperParams
+    ref_loss = ref_train_module.FeatureDistributionLoss(
+        nepochs=6, warmup_teacher_temp=1.5, teacher_temp=0.22,
+        warmup_teacher_temp_epochs=4,
+    )
+    rng = np.random.default_rng(2)
+    B, D, n_classes = 8, 10, 4
+    for epoch in (0, 2, 5):
+        s = rng.normal(size=(B, D)).astype(np.float32)
+        t = rng.normal(size=(B, D)).astype(np.float32)
+        labels = rng.integers(0, n_classes, size=B)
+        logits = rng.normal(size=(B, n_classes)).astype(np.float32)
+        want = float(ref_loss(
+            torch.from_numpy(s), torch.from_numpy(t), epoch,
+            torch.from_numpy(labels), pred_label=torch.from_numpy(logits),
+        ))
+        got = feature_distribution_loss_v1(
+            jnp.asarray(s), jnp.asarray(t), jnp.asarray(labels), jnp.asarray(logits),
+            temperature=float(ref_loss.teacher_temp_schedule[epoch]),
+            alpha=float(hp.alpha), beta=float(hp.beta),
+        )
+        np.testing.assert_allclose(float(got), want, rtol=1e-5, err_msg=f"epoch {epoch}")
