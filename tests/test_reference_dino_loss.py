@@ -186,3 +186,96 @@ def test_feature_distribution_loss_v1_matches_reference(ref_train_module):
             alpha=float(hp.alpha), beta=float(hp.beta),
         )
         np.testing.assert_allclose(float(got), want, rtol=1e-5, err_msg=f"epoch {epoch}")
+
+
+def _import_ref_entry(name):
+    """Import a reference entry module with the standard stubs."""
+    from cerebra.eval import faiss_stub
+
+    faiss_stub.install()
+    _stub_torchvision()
+    if "models.lstm" not in sys.modules:
+        pkg = types.ModuleType("models")
+        mod = types.ModuleType("models.lstm")
+        mod.Model = object
+        pkg.lstm = mod
+        sys.modules.setdefault("models", pkg)
+        sys.modules["models.lstm"] = mod
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+
+        return importlib.import_module(name)
+    except Exception as e:
+        pytest.skip(f"reference {name} not importable: {e}")
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def test_remaining_losses_match_reference_classes():
+    """Every remaining loss variant pinned to the reference's OWN classes:
+    v2 (LstmDistillation.py:161-172), v3 (Eval.py:106-146 — its forward reads
+    a main-local `device`, injected as cpu), Hinton KD (Spampinato:107-121),
+    KL+smooth-L1 (Retreival:40-70), CosineSimilarityLoss + the negative-form
+    functional variant (LSTMDistill.py:28-58)."""
+    import types as _types
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from cerebra.losses import (
+        cosine_similarity_loss,
+        feature_distribution_loss_v2,
+        feature_distribution_loss_v3,
+        hinton_kd_loss,
+        kl_kd_smooth_l1_loss,
+    )
+
+    rng = np.random.default_rng(23)
+    B, D, n_classes = 6, 10, 4
+    s = rng.normal(size=(B, D)).astype(np.float32)
+    t = rng.normal(size=(B, D)).astype(np.float32)
+    st, tt = torch.from_numpy(s), torch.from_numpy(t)
+    sj, tj = jnp.asarray(s), jnp.asarray(t)
+
+    # v2 — mean/std matching
+    m = _import_ref_entry("LstmDistillation")
+    want = float(m.FeatureDistributionLoss()(st, tt))
+    np.testing.assert_allclose(float(feature_distribution_loss_v2(sj, tj)), want, rtol=1e-5)
+
+    # v3 — soft-target KL · T² (needs the main-local `device` injected)
+    m = _import_ref_entry("LstmDistillFromDinoV2Eval")
+    m.device = torch.device("cpu")
+    ref = m.FeatureDistributionLoss(nepochs=4, warmup_teacher_temp=1.5,
+                                    teacher_temp=0.22, warmup_teacher_temp_epochs=2)
+    for epoch in (0, 3):
+        want = float(ref(st, tt, epoch))
+        T = float(ref.teacher_temp_schedule[epoch])
+        np.testing.assert_allclose(
+            float(feature_distribution_loss_v3(sj, tj, T)), want, rtol=1e-5)
+
+    # Hinton KD (Spampinato)
+    m = _import_ref_entry("LstmDistillFromDinoV2TrainSpampinato")
+    labels = rng.integers(0, D, size=B)  # CE over the raw D-wide outputs
+    params = _types.SimpleNamespace(alpha=0.6, temperature=2.5)
+    want = float(m.loss_fn_kd(st, torch.from_numpy(labels), tt, params))
+    got = hinton_kd_loss(sj, jnp.asarray(labels), tj, temperature=2.5, alpha=0.6)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+    # KL + smooth-L1 (Retreival)
+    m = _import_ref_entry("LSTMDistillRetreival")
+    params = _types.SimpleNamespace(temperature=2.0, soft_target_loss_weight=0.3,
+                                    ce_loss_weight=0.7, alpha=0.5)  # alpha read then unused (:48)
+    want = float(m.loss_fn_kd(st, None, tt, params))
+    got = kl_kd_smooth_l1_loss(sj, tj, temperature=2.0,
+                               soft_target_loss_weight=0.3, ce_loss_weight=0.7)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+    # cosine — class form and negative functional form
+    m = _import_ref_entry("LSTMDistill")
+    want = float(m.CosineSimilarityLoss()(st, tt))
+    np.testing.assert_allclose(float(cosine_similarity_loss(sj, tj)), want, rtol=1e-5)
+    want = float(m.cosine_similarity_loss(st, tt))
+    np.testing.assert_allclose(
+        float(cosine_similarity_loss(sj, tj, negative_form=True)), want, rtol=1e-5)
