@@ -25,7 +25,11 @@ def main(argv=None):
     parser.add_argument("--patch_size", type=int, default=16)
     parser.add_argument("--image_size", type=int, default=64)
     parser.add_argument("--n_noise", type=int, default=16)
+    parser.add_argument("--pretrained_weights", type=str, default="",
+                        help="reference flag name; alias of --custom_model_weights")
     FLAGS, _ = parser.parse_known_args(argv)
+    if FLAGS.pretrained_weights and not FLAGS.custom_model_weights:
+        FLAGS.custom_model_weights = FLAGS.pretrained_weights
     os.makedirs(FLAGS.log_dir, exist_ok=True)
 
     args = DinoArgs(arch=FLAGS.arch, patch_size=FLAGS.patch_size,

@@ -24,7 +24,11 @@ def main(argv=None):
                         help="image to visualize; default: first corpus EEG as image")
     parser.add_argument("--threshold", type=float, default=0.0,
                         help="keep top mass fraction (0 = raw maps)")
+    parser.add_argument("--pretrained_weights", type=str, default="",
+                        help="reference flag name (dino/visualize_attention.py:103); alias of --custom_model_weights")
     FLAGS, _ = parser.parse_known_args(argv)
+    if FLAGS.pretrained_weights and not FLAGS.custom_model_weights:
+        FLAGS.custom_model_weights = FLAGS.pretrained_weights
     os.makedirs(FLAGS.log_dir, exist_ok=True)
 
     import matplotlib
