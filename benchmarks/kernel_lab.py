@@ -794,9 +794,10 @@ EXPS["planes"] = exp_planes
 
 def exp_bwdstack():
     """Backward-side variants of the fused stack at headline shapes:
-    (a) shipped (cost_estimate, Bt from _pick_tile),
-    (b) no cost_estimate,
+    (a) shipped (Bt from _pick_tile; pallas_lstm_stack passes no
+        cost_estimate, so there is no cost-estimate knob to vary),
     (c) Bt=1024 (one batch tile),
+    (e) Bt=256,
     each timed through the full fwd+bwd grad (sync on dW)."""
     import functools
     from cerebra.models import pallas_lstm_stack as S
@@ -822,30 +823,12 @@ def exp_bwdstack():
 
     run("shipped")
 
-    # (b) no cost estimate: monkeypatch CostEstimate away
-    import jax.experimental.pallas as pl
-    orig_ce = pl.CostEstimate
-    try:
-        pl.CostEstimate = lambda **kw: None
-        run("no-cost-estimate")
-    finally:
-        pl.CostEstimate = orig_ce
-
     # (c) force a single 1024-row batch tile
     orig_pick = S._pick_tile
     try:
         S._pick_tile = lambda B_, H_, L_, i_: B_
         run("Bt=1024")
     finally:
-        S._pick_tile = orig_pick
-
-    # (d) both
-    try:
-        pl.CostEstimate = lambda **kw: None
-        S._pick_tile = lambda B_, H_, L_, i_: B_
-        run("Bt=1024+no-cost")
-    finally:
-        pl.CostEstimate = orig_ce
         S._pick_tile = orig_pick
 
     # (e) smaller tile 256

@@ -38,6 +38,11 @@ def main(argv=None):
     parser.add_argument("--n_mels", type=int, default=224)
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument(
+        "--pretrained_backbone", type=str, default="",
+        help="local torchvision resnet50 .pth to init both towers "
+        "(extension; reference towers are random-init, net.py:15-19)",
+    )
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     init_distributed()
@@ -62,6 +67,7 @@ def main(argv=None):
         n_mels=FLAGS.n_mels,
         image_size=FLAGS.image_size,
         seed=FLAGS.seed,
+        pretrained_backbone=FLAGS.pretrained_backbone,
     )
 
     stats_path = os.path.join(FLAGS.log_dir, "stats.txt")

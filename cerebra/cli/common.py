@@ -114,9 +114,12 @@ def init_distributed() -> None:
             pass
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         kw = {}
-        if os.environ.get("WORLD_SIZE"):
+        # env:// semantics require BOTH (like torch's init_method="env://",
+        # utils/utils.py:468-473); with only one of the pair set, fall
+        # through to jax's own cluster auto-detection rather than handing
+        # jax.distributed.initialize a partial spec it will reject confusingly
+        if os.environ.get("WORLD_SIZE") and os.environ.get("RANK"):
             kw["num_processes"] = int(os.environ["WORLD_SIZE"])
-        if os.environ.get("RANK"):
             kw["process_id"] = int(os.environ["RANK"])
         jax.distributed.initialize(**kw)
 

@@ -19,5 +19,8 @@ from cerebra.losses.feature_dist import (  # noqa: F401
     feature_distribution_loss_v3,
 )
 from cerebra.losses.kd import hinton_kd_loss, kl_kd_smooth_l1_loss  # noqa: F401
-from cerebra.losses.cosine import cosine_similarity_loss  # noqa: F401
+from cerebra.losses.cosine import (  # noqa: F401
+    cosine_embedding_loss,
+    cosine_similarity_loss,
+)
 from cerebra.losses.barlow import barlow_twins_loss  # noqa: F401

@@ -20,3 +20,17 @@ def cosine_similarity_loss(
     with `negative_form`, `−mean(cos)` (functional variant, :37-58)."""
     c = jnp.mean(_cosine(student_outputs, teacher_outputs))
     return -c if negative_form else 1.0 - c
+
+
+def cosine_embedding_loss(
+    x1: jax.Array, x2: jax.Array, target: jax.Array, margin: float = 0.0
+) -> jax.Array:
+    """torch `nn.CosineEmbeddingLoss` — selected (then unused) as the criterion
+    at LstmDistillFromDinoV2TrainSpampinato.py:385.
+
+    Per pair: `1 − cos(x1, x2)` where `target == 1`,
+    `max(0, cos(x1, x2) − margin)` where `target == −1`; mean reduction.
+    """
+    c = _cosine(x1, x2)
+    per_pair = jnp.where(target == 1, 1.0 - c, jnp.maximum(0.0, c - margin))
+    return jnp.mean(per_pair)

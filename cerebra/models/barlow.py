@@ -54,3 +54,23 @@ class BarlowTwins(nn.Module):
         f2 = resnet50(dtype=self.dtype, zero_init_residual=True)(y2, train=train)
         proj = Projector(tuple(self.projector_sizes), dtype=self.dtype, name="projector")
         return proj(f1, train=train), proj(f2, train=train)
+
+
+def graft_pretrained_towers(variables: dict, path: str) -> dict:
+    """Replace both towers' ResNet-50 slots with imported torchvision
+    ImageNet weights from a local checkpoint.
+
+    The reference trains its towers from random init (net.py:15-19) — this is
+    the optional `--pretrained_weights` extension; projector, eeg_stem and BN
+    running stats of the towers are all swapped consistently."""
+    from cerebra.models.resnet import load_pretrained_resnet50
+
+    pre = load_pretrained_resnet50(path, num_classes=0)
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    for tower in ("ResNet_0", "ResNet_1"):
+        params[tower] = pre["params"]
+        stats[tower] = pre["batch_stats"]
+    out = dict(variables)
+    out["params"], out["batch_stats"] = params, stats
+    return out

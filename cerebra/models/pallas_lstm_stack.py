@@ -90,7 +90,12 @@ def _padded_batch(B: int, H: int, n_layers: int, itemsize: int) -> int:
     for tile in range(min(B - 1, cap) // 8 * 8, 0, -8):
         if B % tile == 0:
             return B  # an aligned divisor exists; no padding needed
-    nb = -(-B // cap)
+    # clamp the balanced tile to the largest 8-aligned size under the cap:
+    # when ceil(B/nb) lands within 7 of cap, rounding up would exceed it and
+    # _pick_tile on the padded batch would silently fall back to a tiny
+    # divisor (correct but slow)
+    tile_max = cap // 8 * 8
+    nb = -(-B // tile_max)
     tile = _round_up(-(-B // nb), 8)
     return nb * tile
 

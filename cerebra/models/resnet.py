@@ -4,8 +4,10 @@
 
 Standard bottleneck ResNet; `zero_init_residual` matches the Barlow ctor
 (net.py:15). Pretrained ImageNet weights can't be downloaded here (zero
-egress) — `import_torchvision_state_dict` loads them from a local torch file
-when available.
+egress) — `import_torchvision_resnet50` maps a torchvision state_dict into
+flax variables and `load_pretrained_resnet50` reads one from a local torch
+file when available; forward parity with the torch graph is oracle-tested in
+tests/test_resnet_torch_parity.py.
 """
 
 from __future__ import annotations
@@ -30,7 +32,13 @@ class BottleneckBlock(nn.Module):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(norm()(y))
-        y = nn.Conv(self.features, (3, 3), self.strides, use_bias=False, dtype=self.dtype)(y)
+        # explicit (1,1) padding, NOT 'SAME': for stride-2 the two sampling
+        # grids differ (torch pads symmetrically, SAME pads trailing-heavy),
+        # and torchvision-weight parity needs torch's grid
+        y = nn.Conv(
+            self.features, (3, 3), self.strides, padding=[(1, 1), (1, 1)],
+            use_bias=False, dtype=self.dtype,
+        )(y)
         y = nn.relu(norm()(y))
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = norm(
@@ -50,19 +58,20 @@ class ResNet(nn.Module):
     num_classes: int = 0  # 0 → return pooled features (fc := Identity)
     zero_init_residual: bool = False
     dtype: Optional[Any] = None
+    width: int = 64  # stem width (torchvision inplanes); 64 for resnet50
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         """x: (B, H, W, 3) NHWC → pooled (B, 2048) features (or logits)."""
         norm = partial(nn.BatchNorm, use_running_average=not train, dtype=self.dtype)
-        y = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype)(x)
+        y = nn.Conv(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(norm()(y))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
                 y = BottleneckBlock(
-                    64 * 2**i, strides, self.zero_init_residual, dtype=self.dtype
+                    self.width * 2**i, strides, self.zero_init_residual, dtype=self.dtype
                 )(y, train=train)
         y = jnp.mean(y, axis=(1, 2))  # global average pool → (B, 2048)
         if self.num_classes:
@@ -72,6 +81,75 @@ class ResNet(nn.Module):
 
 def resnet50(num_classes: int = 0, zero_init_residual: bool = False, dtype=None) -> ResNet:
     return ResNet((3, 4, 6, 3), num_classes, zero_init_residual, dtype)
+
+
+def _np(t):
+    import numpy as np
+
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _bn(sd, prefix):
+    return (
+        {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])},
+        {"mean": _np(sd[prefix + ".running_mean"]), "var": _np(sd[prefix + ".running_var"])},
+    )
+
+
+def _conv(sd, key):
+    # torch (O, I, kh, kw) → flax (kh, kw, I, O)
+    return {"kernel": _np(sd[key]).transpose(2, 3, 1, 0)}
+
+
+def import_torchvision_resnet50(
+    state_dict, num_classes: int = 0, stage_sizes: Sequence[int] = (3, 4, 6, 3)
+):
+    """torchvision `resnet50().state_dict()` → flax `{"params", "batch_stats"}`
+    variables for `ResNet` above (the pretrained backbone the reference loads
+    at utils/ResnetFeatureRegressor.py:11-12 via ResNet50_Weights.DEFAULT).
+
+    `num_classes=0` drops the classifier (the reference strips it,
+    ResnetFeatureRegressor.py:15); `num_classes=1000` maps `fc.*` onto
+    `Dense_0`. Accepts torch tensors or numpy arrays as values.
+    """
+    sd = state_dict
+    params = {"Conv_0": _conv(sd, "conv1.weight")}
+    stats = {}
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn(sd, "bn1")
+    k = 0
+    for stage, n_blocks in enumerate(stage_sizes):
+        for j in range(n_blocks):
+            t = f"layer{stage + 1}.{j}"
+            bp, bs = {}, {}
+            for c in range(3):
+                bp[f"Conv_{c}"] = _conv(sd, f"{t}.conv{c + 1}.weight")
+                bp[f"BatchNorm_{c}"], bs[f"BatchNorm_{c}"] = _bn(sd, f"{t}.bn{c + 1}")
+            if f"{t}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv(sd, f"{t}.downsample.0.weight")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(sd, f"{t}.downsample.1")
+            params[f"BottleneckBlock_{k}"] = bp
+            stats[f"BottleneckBlock_{k}"] = bs
+            k += 1
+    if num_classes:
+        params["Dense_0"] = {
+            "kernel": _np(sd["fc.weight"]).transpose(1, 0),
+            "bias": _np(sd["fc.bias"]),
+        }
+    import jax.numpy as jnp
+
+    as_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+    return {"params": as_jnp(params), "batch_stats": as_jnp(stats)}
+
+
+def load_pretrained_resnet50(path: str, num_classes: int = 0):
+    """Load a locally saved torchvision resnet50 checkpoint (.pth state_dict —
+    zero-egress stand-in for ResNet50_Weights.DEFAULT) into flax variables."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return import_torchvision_resnet50(sd, num_classes=num_classes)
 
 
 class ResnetFeatureRegressor(nn.Module):
@@ -86,3 +164,27 @@ class ResnetFeatureRegressor(nn.Module):
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         feats = resnet50(dtype=self.dtype, zero_init_residual=False)(x, train=train)
         return nn.Dense(self.output_size, dtype=self.dtype, name="fc")(feats)
+
+
+def init_feature_regressor(
+    rng: jax.Array,
+    output_size: int,
+    pretrained_path: Optional[str] = None,
+    image_size: int = 224,
+    dtype=None,
+):
+    """(model, variables) for ResnetFeatureRegressor; with `pretrained_path`
+    the backbone slot is replaced by imported torchvision ImageNet weights —
+    the reference's `resnet50(weights=ResNet50_Weights.DEFAULT)`
+    (utils/ResnetFeatureRegressor.py:11-12) — while the regression head keeps
+    its fresh init (the reference's new nn.Linear, :22)."""
+    model = ResnetFeatureRegressor(output_size, dtype=dtype)
+    variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)), train=False)
+    if pretrained_path:
+        pre = load_pretrained_resnet50(pretrained_path, num_classes=0)
+        params = dict(variables["params"])
+        stats = dict(variables["batch_stats"])
+        params["ResNet_0"] = pre["params"]
+        stats["ResNet_0"] = pre["batch_stats"]
+        variables = {"params": params, "batch_stats": stats}
+    return model, variables

@@ -44,6 +44,9 @@ class BarlowConfig:
     warmup_epochs: int = 10
     seed: int = 0
     dtype: Any = None
+    # optional local torchvision resnet50 checkpoint for both towers
+    # (extension — the reference towers are random-init, net.py:15-19)
+    pretrained_backbone: str = ""
 
 
 def barlow_train(
@@ -85,6 +88,10 @@ def barlow_train(
     variables = model.init(
         jax.random.key(cfg.seed), y1_all[:1], y2_all[:1], train=False
     )
+    if cfg.pretrained_backbone:
+        from cerebra.models.barlow import graft_pretrained_towers
+
+        variables = graft_pretrained_towers(variables, cfg.pretrained_backbone)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     # 2) LARS with per-group lr (weights vs biases/1-d), warmup+cosine base

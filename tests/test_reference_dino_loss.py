@@ -279,3 +279,15 @@ def test_remaining_losses_match_reference_classes():
     want = float(m.cosine_similarity_loss(st, tt))
     np.testing.assert_allclose(
         float(cosine_similarity_loss(sj, tj, negative_form=True)), want, rtol=1e-5)
+
+    # CosineEmbeddingLoss — the criterion picked (then unused) at
+    # LstmDistillFromDinoV2TrainSpampinato.py:385; pinned to torch's built-in
+    # on mixed +1/−1 targets and a nonzero margin.
+    from cerebra.losses import cosine_embedding_loss
+
+    targets = rng.choice(np.array([-1, 1]), size=B)
+    ttgt = torch.from_numpy(targets)
+    for margin in (0.0, 0.25):
+        want = float(torch.nn.CosineEmbeddingLoss(margin=margin)(st, tt, ttgt))
+        got = cosine_embedding_loss(sj, tj, jnp.asarray(targets), margin=margin)
+        np.testing.assert_allclose(float(got), want, rtol=1e-5)
