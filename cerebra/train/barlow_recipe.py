@@ -69,10 +69,11 @@ def barlow_train(
     cfg = config
     n = len(images)
     niter = max(n // cfg.batch_size, 1)
-    if mesh is not None and cfg.batch_size % mesh.devices.size != 0:
+    if mesh is not None and cfg.batch_size % mesh.shape[mesh.axis_names[0]] != 0:
         # reference asserts batch divisibility too (train.py:129)
         raise ValueError(
-            f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.devices.size}"
+            f"batch_size {cfg.batch_size} not divisible by data-axis size "
+            f"{mesh.shape[mesh.axis_names[0]]}"
         )
 
     # 1) one-shot device spectrogram of the whole EEG corpus
@@ -128,39 +129,74 @@ def barlow_train(
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, new_opt, loss
 
-    step = jax.jit(step, donate_argnums=(0, 1, 2))
+    # whole-epoch lax.scan dispatch in both branches (same shape as
+    # cerebra.train.recipes); meshed, the spectrogram/image corpora are
+    # statically sharded and gathered shard-locally per step
+    import functools
 
-    if mesh is not None:
-        from cerebra.parallel.mesh import data_sharding, replicated
+    if mesh is None:
 
-        params = jax.device_put(params, replicated(mesh))
-        batch_stats = jax.device_put(batch_stats, replicated(mesh))
-        opt_state = jax.device_put(opt_state, replicated(mesh))
-        y1_host, y2_host = np.asarray(y1_all), np.asarray(y2_all)
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def run_epoch(params, batch_stats, opt_state, idx_mat, y1, y2):
+            def body(carry, idx):
+                p, bs, op = carry
+                p, bs, op, loss = step(p, bs, op, y1[idx], y2[idx])
+                return (p, bs, op), loss
 
-        def get_batch(idx):
-            return (
-                jax.device_put(jnp.asarray(y1_host[idx]), data_sharding(mesh, 4)),
-                jax.device_put(jnp.asarray(y2_host[idx]), data_sharding(mesh, 4)),
+            (params, batch_stats, opt_state), losses = jax.lax.scan(
+                body, (params, batch_stats, opt_state), idx_mat
             )
-    else:
+            return params, batch_stats, opt_state, losses
 
-        def get_batch(idx):
-            return y1_all[idx], y2_all[idx]
+        def epoch_call(params, batch_stats, opt_state, epoch):
+            batches, _ = epoch_batches(n, cfg.batch_size, seed=cfg.seed, epoch=epoch)
+            idx_mat = jnp.asarray(np.stack(batches[:niter]))
+            return run_epoch(params, batch_stats, opt_state, idx_mat, y1_all, y2_all)
+    else:
+        from cerebra.parallel.dataflow import (
+            index_spec,
+            local_epoch_indices,
+            make_local_gather,
+            put_global,
+            put_replicated,
+            shard_corpus,
+        )
+
+        n_data = mesh.shape[mesh.axis_names[0]]
+        b_local = cfg.batch_size // n_data
+        params = put_replicated(mesh, params)
+        batch_stats = put_replicated(mesh, batch_stats)
+        opt_state = put_replicated(mesh, opt_state)
+        y1_g, n_local = shard_corpus(mesh, np.asarray(y1_all))
+        y2_g, _ = shard_corpus(mesh, np.asarray(y2_all))
+        gather = make_local_gather(mesh)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def run_epoch(params, batch_stats, opt_state, idx_all, y1, y2):
+            def body(carry, idx):
+                p, bs, op = carry
+                p, bs, op, loss = step(p, bs, op, gather(y1, idx), gather(y2, idx))
+                return (p, bs, op), loss
+
+            (params, batch_stats, opt_state), losses = jax.lax.scan(
+                body, (params, batch_stats, opt_state), idx_all
+            )
+            return params, batch_stats, opt_state, losses
+
+        def epoch_call(params, batch_stats, opt_state, epoch):
+            idx = local_epoch_indices(n_local, n_data, b_local, niter, cfg.seed, epoch)
+            return run_epoch(
+                params, batch_stats, opt_state, put_global(mesh, idx, index_spec()),
+                y1_g, y2_g,
+            )
 
     history: Dict[str, List] = {"loss": [], "epoch_time_s": []}
     for epoch in range(cfg.epochs):
         t0 = time.perf_counter()
-        batches, _ = epoch_batches(n, cfg.batch_size, seed=cfg.seed, epoch=epoch)
-        batches = batches[:niter]
-        losses = []
-        for idx in batches:
-            y1_b, y2_b = get_batch(idx)
-            params, batch_stats, opt_state, loss = step(
-                params, batch_stats, opt_state, y1_b, y2_b
-            )
-            losses.append(loss)
-        loss = float(np.mean([float(l) for l in losses]))
+        params, batch_stats, opt_state, losses = epoch_call(
+            params, batch_stats, opt_state, epoch
+        )
+        loss = float(np.mean(np.asarray(losses)))  # one sync per epoch
         history["loss"].append(loss)
         history["epoch_time_s"].append(time.perf_counter() - t0)
         log_fn(f"EPOCH {epoch} barlow_loss: {loss:.4f}")

@@ -112,12 +112,14 @@ def make_interaug(
     n_per_class_out: int,
     n_segments: int = 8,
 ):
-    """Build a jitted S&R augmentation fn(key) → (aug_data, aug_labels).
+    """Build a traceable S&R augmentation fn(key, data_d) → (aug, aug_labels).
 
     The reference's triple loop (utils/Conformer.py:254-281) is replaced by
     one vectorized gather: sample, per (class, output trial, segment), a
     same-class source trial; gather all candidates; take the diagonal over
-    the (sampled-trial, segment) axes. Runs on device every step.
+    the (sampled-trial, segment) axes. `data_d` is a runtime ARGUMENT so the
+    fn can live inside a whole-epoch jit without baking the corpus into the
+    compiled HLO as a constant.
     """
     N, _, C, T = data.shape
     seg_len = T // n_segments
@@ -132,12 +134,16 @@ def make_interaug(
         counts[c] = len(idx)
         table[c, : len(idx)] = idx
         table[c, len(idx):] = idx[0]  # padding never sampled (maxval=count)
-    data_d = jnp.asarray(data)
     table_d = jnp.asarray(table)
     counts_d = jnp.asarray(counts)
     aug_labels = jnp.repeat(jnp.arange(n_classes, dtype=jnp.int32), n_per_class_out)
+    data_default = jnp.asarray(data)
 
-    def interaug(key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def interaug(
+        key: jax.Array, data_d: Optional[jax.Array] = None
+    ) -> Tuple[jax.Array, jax.Array]:
+        if data_d is None:  # convenience for host-level callers ONLY — inside
+            data_d = data_default  # a jit this would bake the corpus constant
         k_idx, k_shuf = jax.random.split(key)
         idx = jax.random.randint(
             k_idx, (n_classes, n_per_class_out, n_segments),
@@ -207,8 +213,6 @@ def conformer_exp_train(
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, new_opt, loss, out
 
-    step = jax.jit(step, donate_argnums=(0, 1, 2))
-
     @jax.jit
     def evaluate(params, batch_stats, x, y):
         flat, out = model.apply(
@@ -225,22 +229,54 @@ def conformer_exp_train(
     test_x = jnp.asarray(test_data)
     test_y = jnp.asarray(test_labels.astype(np.int32))
 
+    # Whole-epoch lax.scan dispatch: per step the batch gather, the S&R
+    # augmentation, the real+aug concat, and the optimizer step all stay on
+    # device. The BCI-IV corpus (~25 MB) stays REPLICATED under a mesh —
+    # S&R draws same-class trials from the whole set, which a sharded corpus
+    # could not serve locally — and only the assembled step batch is
+    # sharding-constrained over the data axis (grad psum inserted by jit).
+    import functools
+
     if mesh is not None:
-        from cerebra.parallel.mesh import data_sharding, replicated
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        params = jax.device_put(params, replicated(mesh))
-        batch_stats = jax.device_put(batch_stats, replicated(mesh))
-        opt_state = jax.device_put(opt_state, replicated(mesh))
+        from cerebra.parallel.dataflow import put_replicated
 
-    def put_batch(x, y):
-        if mesh is None:
+        params = put_replicated(mesh, params)
+        batch_stats = put_replicated(mesh, batch_stats)
+        opt_state = put_replicated(mesh, opt_state)
+        axis = mesh.axis_names[0]
+
+        def constrain(x, y):
+            return (
+                jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(axis, None, None, None))
+                ),
+                jax.lax.with_sharding_constraint(y, NamedSharding(mesh, P(axis))),
+            )
+    else:
+
+        def constrain(x, y):
             return x, y
-        from cerebra.parallel.mesh import data_sharding
 
-        return (
-            jax.device_put(x, data_sharding(mesh, 4)),
-            jax.device_put(y, data_sharding(mesh, 1)),
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def run_epoch(params, batch_stats, opt_state, idx_mat, keys, data, labels):
+        # data/labels are runtime ARGUMENTS (no baked corpus constants)
+        def body(carry, args):
+            p, bs, op = carry
+            idx, k = args
+            k_aug, k_drop = jax.random.split(k)
+            aug_x, aug_y = interaug(k_aug, data)
+            x = jnp.concatenate([data[idx], aug_x])
+            y = jnp.concatenate([labels[idx], aug_y])
+            x, y = constrain(x, y)
+            p, bs, op, loss, _ = step(p, bs, op, x, y, k_drop)
+            return (p, bs, op), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), (idx_mat, keys)
         )
+        return params, batch_stats, opt_state, losses
 
     log_file = open(log_write_path, "w") if log_write_path else None
     history: Dict[str, List] = {"train_loss": [], "test_acc": [], "test_loss": [],
@@ -257,17 +293,16 @@ def conformer_exp_train(
             order = np.resize(order, need)
         else:
             order = order[:need]
-        loss = None
-        for it, idx in enumerate(order.reshape(niter, cfg.batch_size)):
-            key, k_aug, k_drop = jax.random.split(key, 3)
-            aug_x, aug_y = interaug(k_aug)
-            x = jnp.concatenate([train_data_d[idx], aug_x])
-            y = jnp.concatenate([train_labels_d[idx], aug_y])
-            x, y = put_batch(x, y)
-            params, batch_stats, opt_state, loss, _ = step(
-                params, batch_stats, opt_state, x, y, k_drop
-            )
-        history["train_loss"].append(float(loss))
+        key, ek = jax.random.split(key)
+        keys = jax.random.split(ek, niter)
+        params, batch_stats, opt_state, losses = run_epoch(
+            params, batch_stats, opt_state,
+            jnp.asarray(order.reshape(niter, cfg.batch_size)), keys,
+            train_data_d, train_labels_d,
+        )
+        # reference logs the LAST step's loss (utils/Conformer.py:380-386)
+        loss = float(np.asarray(losses)[-1])
+        history["train_loss"].append(loss)
         history["epoch_time_s"].append(time.perf_counter() - t0)
 
         if (epoch + 1) % cfg.eval_every == 0:

@@ -124,7 +124,8 @@ def dino_vit_train(
     inserted by jit as psums over the sharded batch."""
     cfg = config
     n = len(eeg)
-    n_devices = 1 if mesh is None else mesh.devices.size
+    # DP width = data axis (a "model" axis shards tensors, not the batch)
+    n_devices = 1 if mesh is None else mesh.shape[mesh.axis_names[0]]
     global_batch = cfg.batch_size_per_device * n_devices
     niter_per_ep = max(n // global_batch, 1)
 
@@ -166,6 +167,7 @@ def dino_vit_train(
         2, cfg.local_crops_number, cfg.global_size, cfg.local_size, images is not None
     )
     step = make_dino_step(
+        jit=False,  # embedded in the whole-epoch lax.scan below
         backbone_apply=lambda p, x: backbone.apply(p, x),
         head_apply=lambda p, f: head.apply(p, f),
         tx=tx,
@@ -178,39 +180,83 @@ def dino_vit_train(
         freeze_last_layer=cfg.freeze_last_layer,
     )
 
+    # whole-epoch lax.scan dispatch, same shape as the LSTM recipes
+    # (cerebra.train.recipes): no per-step host slicing or device_put —
+    # this was the 3× dispatch tax the flagship CLI already shed
     eeg = np.asarray(eeg, dtype=np.float32)
-    if mesh is not None:
-        from cerebra.parallel.mesh import data_sharding, replicated
+    imgs_host = None if images is None else np.asarray(images, dtype=np.float32)
+    import functools
 
-        state = jax.device_put(state, replicated(mesh))
-        imgs_host = None if images is None else np.asarray(images, dtype=np.float32)
+    if mesh is None:
+        eeg_dev = jnp.asarray(eeg)
+        imgs_dev = None if imgs_host is None else jnp.asarray(imgs_host)
 
-        def get_batch(idx):
-            eeg_b = jax.device_put(jnp.asarray(eeg[idx]), data_sharding(mesh, 3))
-            img_b = None if imgs_host is None else jax.device_put(
-                jnp.asarray(imgs_host[idx]), data_sharding(mesh, 4)
-            )
-            return eeg_b, img_b
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_epoch(state, idx_mat, subs, eeg_d, imgs_d):
+            # corpora are runtime ARGUMENTS (closure capture would bake them
+            # into the compiled HLO as constants)
+            def body(st, args):
+                idx, sub = args
+                batch = (eeg_d[idx], None if imgs_d is None else imgs_d[idx])
+                st, metrics = step(st, batch, sub)
+                return st, metrics["loss"]
+
+            return jax.lax.scan(body, state, (idx_mat, subs))
+
+        def epoch_call(state, epoch, subs):
+            batches, _ = epoch_batches(n, global_batch, seed=cfg.seed, epoch=epoch)
+            batches = jnp.asarray(np.stack(batches[:niter_per_ep]))
+            return run_epoch(state, batches, subs, eeg_dev, imgs_dev)
     else:
-        imgs = None if images is None else jnp.asarray(images, dtype=jnp.float32)
+        from cerebra.parallel.dataflow import (
+            index_spec,
+            local_epoch_indices,
+            make_local_gather,
+            put_global,
+            put_replicated,
+            shard_corpus,
+        )
 
-        def get_batch(idx):
-            return jnp.asarray(eeg[idx]), (None if imgs is None else imgs[idx])
+        state = put_replicated(mesh, state)
+        eeg_g, n_local = shard_corpus(mesh, eeg)
+        imgs_g = None if imgs_host is None else shard_corpus(mesh, imgs_host)[0]
+        gather = make_local_gather(mesh)
 
-    history: Dict[str, List] = {"loss": [], "epoch_time_s": []}
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_epoch(state, idx_all, subs, eeg_d, imgs_d):
+            def body(st, args):
+                idx, sub = args
+                batch = (
+                    gather(eeg_d, idx),
+                    None if imgs_d is None else gather(imgs_d, idx),
+                )
+                st, metrics = step(st, batch, sub)
+                return st, metrics["loss"]
+
+            return jax.lax.scan(body, state, (idx_all, subs))
+
+        def epoch_call(state, epoch, subs):
+            idx = local_epoch_indices(
+                n_local, n_devices, cfg.batch_size_per_device, niter_per_ep,
+                cfg.seed, epoch,
+            )
+            return run_epoch(state, put_global(mesh, idx, index_spec()), subs, eeg_g, imgs_g)
+
+    history: Dict[str, List] = {"loss": [], "epoch_time_s": [], "windows_per_s": []}
     for epoch in range(cfg.epochs):
         t0 = time.perf_counter()
-        batches, _ = epoch_batches(n, global_batch, seed=cfg.seed, epoch=epoch)
-        batches = batches[:niter_per_ep]
-        losses = []
-        for idx in batches:
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, get_batch(idx), sub)
-            losses.append(metrics["loss"])
-        loss = float(np.mean([float(l) for l in losses]))
+        key, ek = jax.random.split(key)
+        subs = jax.random.split(ek, niter_per_ep)
+        state, losses = epoch_call(state, epoch, subs)
+        loss = float(np.mean(np.asarray(losses)))  # one sync per epoch
+        dt = time.perf_counter() - t0
         history["loss"].append(loss)
-        history["epoch_time_s"].append(time.perf_counter() - t0)
-        log_fn(f"EPOCH {epoch} dino_vit_loss: {loss:.4f}")
+        history["epoch_time_s"].append(dt)
+        history["windows_per_s"].append(niter_per_ep * global_batch / dt)
+        log_fn(
+            f"EPOCH {epoch} dino_vit_loss: {loss:.4f} "
+            f"({history['windows_per_s'][-1]:.1f} windows/s)"
+        )
         if checkpoint_cb is not None:
             checkpoint_cb(epoch, state)
     return state, history

@@ -9,9 +9,10 @@ library functions; CLIs are thin argparse wrappers around these).
   teacher LSTMs with temporal multi-crop, EMA teacher, centered/sharpened CE,
   cosine lr/wd/momentum schedules.
 
-TPU shape: whole corpora live as device arrays; an epoch is a sequence of
-jitted steps over index batches (no host dataloader); batches are sharded
-over the mesh's data axis when one is provided.
+TPU shape: whole corpora live as device arrays and an epoch runs as ONE
+`lax.scan` dispatch (no host dataloader). With a mesh the corpus is
+statically sharded over the data axis and every device gathers batches from
+its own shard (cerebra.parallel.dataflow) — multi-process/multi-host safe.
 """
 
 from __future__ import annotations
@@ -29,7 +30,6 @@ from cerebra.data.sampling import epoch_batches
 from cerebra.eval.retrieval import retrieval_recall_precision
 from cerebra.losses import feature_distribution_loss_v1, teacher_temp_schedule
 from cerebra.models import DINOHead, Model
-from cerebra.parallel.mesh import data_sharding, replicated
 from cerebra.train.optim import make_optimizer
 from cerebra.train.schedules import cosine_scheduler
 from cerebra.train.steps import (
@@ -139,36 +139,56 @@ def feature_distill_train(
             return feature_distribution_loss_v3(feats, teacher_feats, temps[epoch])
         raise ValueError(f"unknown loss: {cfg.loss}")
 
-    # Device-resident corpora. Single chip: whole corpus on device and the
-    # epoch's full-size batches run as ONE lax.scan dispatch (gather inside
-    # jit; the ragged tail is one extra call with its own signature).
-    # Meshed: batches are host-sliced then sharded over the data axis (the
-    # DistributedSampler equivalent) so each chip holds 1/N of every batch
-    # and jit inserts the gradient psum.
+    # Device-resident corpora; BOTH branches run a whole epoch as ONE
+    # lax.scan dispatch (gather inside jit). Single chip gathers from the
+    # full corpus; meshed, each device owns a static shard of the
+    # wrap-padded corpus and gathers shard-locally (no sample dropped, no
+    # per-step host work — cerebra.parallel.dataflow replaces the
+    # DistributedSampler + per-batch device_put of the reference,
+    # LstmDistillation.py:406-414).
     if mesh is not None:
-        step = make_feature_distill_step(model.apply, tx, loss_fn)
-        state = jax.device_put(state, replicated(mesh))
-        n_data = mesh.shape[mesh.axis_names[0]]
+        from cerebra.parallel.dataflow import (
+            index_spec,
+            local_epoch_indices,
+            make_local_gather,
+            put_global,
+            put_replicated,
+            shard_corpus,
+        )
 
-        def epoch_call(state, batches, epoch):
-            losses, n_seen = [], 0
-            for idx in batches:
-                # a sharded batch dim must divide the data-axis size; trim
-                # the ragged tail to the nearest multiple (drops < n_devices
-                # samples per epoch, reshuffled every epoch)
-                usable = len(idx) // n_data * n_data
-                if usable == 0:
-                    continue
-                idx = idx[:usable]
-                eeg_b = jax.device_put(jnp.asarray(train_eeg[idx]), data_sharding(mesh, 3))
-                feats_b = jax.device_put(jnp.asarray(train_feats[idx]), data_sharding(mesh, 2))
-                labels_b = jax.device_put(jnp.asarray(train_labels[idx]), data_sharding(mesh, 1))
-                state, metrics = step(state, eeg_b, feats_b, labels_b, epoch)
-                losses.append(metrics["loss"])
-                n_seen += usable
-            if not losses:  # every batch smaller than the mesh's data axis
-                return state, jnp.full((1,), jnp.nan, jnp.float32), 0
-            return state, jnp.stack(losses), n_seen
+        raw_step = make_feature_distill_step(model.apply, tx, loss_fn, jit=False)
+        state = put_replicated(mesh, state)
+        n_data = mesh.shape[mesh.axis_names[0]]
+        if cfg.batch_size % n_data:
+            # the reference asserts batch divisibility by the world size too
+            # (EEG-BarlowNetworks/train.py:129)
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by data-axis size {n_data}"
+            )
+        b_local = cfg.batch_size // n_data
+        eeg_g, n_local = shard_corpus(mesh, np.asarray(train_eeg, dtype=np.float32))
+        feats_g, _ = shard_corpus(mesh, np.asarray(train_feats, dtype=np.float32))
+        labels_g, _ = shard_corpus(mesh, np.asarray(train_labels))
+        gather = make_local_gather(mesh)
+        n_steps = -(-n_local // b_local)  # every sample trains (wrap, no drop)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_epoch_meshed(state, idx_all, epoch, eeg, feats, labels):
+            def body(st, idx):
+                st, metrics = raw_step(
+                    st, gather(eeg, idx), gather(feats, idx), gather(labels, idx), epoch
+                )
+                return st, metrics["loss"]
+
+            return jax.lax.scan(body, state, idx_all)
+
+        def epoch_call(state, epoch):
+            idx = local_epoch_indices(n_local, n_data, b_local, n_steps, cfg.seed, epoch)
+            idx_d = put_global(mesh, idx, index_spec())
+            state, losses = run_epoch_meshed(
+                state, idx_d, epoch, eeg_g, feats_g, labels_g
+            )
+            return state, losses, n_steps * cfg.batch_size
     else:
         raw_step = make_feature_distill_step(model.apply, tx, loss_fn, jit=False)
         tail_step = make_feature_distill_step(model.apply, tx, loss_fn)
@@ -186,7 +206,16 @@ def feature_distill_train(
 
             return jax.lax.scan(body, state, idx_mat)
 
-        def epoch_call(state, batches, epoch):
+        def epoch_call(state, epoch):
+            # full-size batches + one ragged tail batch (reference DataLoader
+            # semantics: no duplicated samples; the tail has its own jit
+            # signature, compiled once)
+            n_train = len(train_eeg)
+            order = np.random.default_rng((cfg.seed, epoch)).permutation(n_train)
+            full_n = n_train // cfg.batch_size * cfg.batch_size
+            batches = list(order[:full_n].reshape(-1, cfg.batch_size))
+            if full_n < n_train:
+                batches.append(order[full_n:])
             full = [b for b in batches if len(b) == cfg.batch_size]
             losses = jnp.zeros((0,), jnp.float32)
             n_seen = 0
@@ -218,25 +247,24 @@ def feature_distill_train(
 
     for epoch in range(cfg.num_epochs):
         t0 = time.perf_counter()
-        # full-size batches + one ragged tail batch (reference DataLoader
-        # semantics: no duplicated samples; the tail has its own jit
-        # signature, compiled once)
-        n_train = len(train_eeg)
-        order = np.random.default_rng((cfg.seed, epoch)).permutation(n_train)
-        full = n_train // cfg.batch_size * cfg.batch_size
-        batches = list(order[:full].reshape(-1, cfg.batch_size))
-        if full < n_train:
-            batches.append(order[full:])
-        state, losses, n_seen = epoch_call(state, batches, epoch)
-        epoch_loss = float(jnp.mean(losses))  # one sync per epoch
+        state, losses, n_seen = epoch_call(state, epoch)
+        # one sync per epoch; np.asarray also handles multi-process global
+        # arrays (scan losses are fully replicated)
+        epoch_loss = float(np.mean(np.asarray(losses)))
         dt = time.perf_counter() - t0
         history["train_loss"].append(epoch_loss)
         history["epoch_time_s"].append(dt)
         history["windows_per_s"].append(n_seen / dt)
 
         if cfg.validation_frequency and epoch % cfg.validation_frequency == 0 and epoch > 0:
-            gallery = corpus_features(state.params, train_eeg)
-            query = corpus_features(state.params, val_eeg)
+            # under a mesh the params are global (possibly multi-process)
+            # arrays; validation runs process-locally on a host copy (they
+            # are fully replicated, so np.asarray is legal everywhere)
+            p_local = (
+                state.params if mesh is None else jax.tree.map(np.asarray, state.params)
+            )
+            gallery = corpus_features(p_local, train_eeg)
+            query = corpus_features(p_local, val_eeg)
             recall, precision, _, _ = retrieval_recall_precision(
                 jnp.asarray(gallery), jnp.asarray(query),
                 jnp.asarray(train_labels), jnp.asarray(val_labels), k=cfg.top_k,
@@ -244,7 +272,7 @@ def feature_distill_train(
             history["recall"].append((epoch, recall))
             history["precision"].append((epoch, precision))
 
-            vfeats, vcls = model.apply({"params": state.params}, jnp.asarray(val_eeg))
+            vfeats, vcls = model.apply({"params": p_local}, jnp.asarray(val_eeg))
             val_loss = float(
                 loss_fn(vfeats, vcls, jnp.asarray(val_feats), jnp.asarray(val_labels), epoch)
             )
@@ -319,7 +347,9 @@ def dino_selfdistill_train(
 ) -> Tuple[DinoTrainState, Dict[str, List]]:
     """LstmDistillation recipe (SURVEY.md §3.2). Returns (state, history)."""
     cfg = config
-    n_devices = 1 if mesh is None else mesh.devices.size
+    # DP width is the DATA axis (a "model" axis, if present, shards tensors
+    # inside the step, not the batch)
+    n_devices = 1 if mesh is None else mesh.shape[mesh.axis_names[0]]
     global_batch = cfg.batch_size_per_device * n_devices
     n = len(train_eeg)
     niter_per_ep = max(n // global_batch, 1)
@@ -374,15 +404,16 @@ def dino_selfdistill_train(
         compat_reference_pairing=cfg.compat_reference_pairing,
     )
 
-    # Single chip: the whole corpus lives in HBM once, and the WHOLE EPOCH
-    # runs as one lax.scan dispatch — the batch gather, all views, and every
-    # optimizer step stay on device (a remote/tunneled host pays real
-    # latency per Python-level jax op, and even locally per-step dispatch
-    # is dead time between 40 ms steps). Meshed: batches are host-sliced
-    # and sharded over the data axis per step (multi-host corpora stream
-    # from their local hosts).
+    # BOTH branches run the WHOLE EPOCH as one lax.scan dispatch — the batch
+    # gather, all views, and every optimizer step stay on device (a
+    # remote/tunneled host pays real latency per Python-level jax op, and
+    # even locally per-step dispatch is dead time between 40 ms steps).
+    # Single chip gathers from the full device corpus; meshed, each device
+    # owns a static shard and gathers shard-locally (the DistributedSampler
+    # + DDP world of LstmDistillation.py:406-445, rebuilt as sharded
+    # device-resident dataflow — cerebra.parallel.dataflow).
+    raw_step = make_dino_step(jit=False, **step_kwargs)
     if mesh is None:
-        raw_step = make_dino_step(jit=False, **step_kwargs)
         eeg_dev = jnp.asarray(np.asarray(train_eeg, dtype=np.float32))
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -396,19 +427,41 @@ def dino_selfdistill_train(
 
             return jax.lax.scan(body, state, (idx_mat, subs))
 
-        def epoch_call(state, batches, subs):
+        def epoch_call(state, epoch, subs):
+            batches, _ = epoch_batches(n, global_batch, seed=cfg.seed, epoch=epoch)
+            batches = batches[:niter_per_ep]
             return run_epoch(state, jnp.asarray(np.stack(batches)), subs, eeg_dev)
     else:
-        step = make_dino_step(**step_kwargs)
-        eeg_host = np.asarray(train_eeg, dtype=np.float32)
+        from cerebra.parallel.dataflow import (
+            index_spec,
+            local_epoch_indices,
+            make_local_gather,
+            put_global,
+            put_replicated,
+            shard_corpus,
+        )
 
-        def epoch_call(state, batches, subs):
-            losses = []
-            for it, idx in enumerate(batches):
-                batch = jax.device_put(jnp.asarray(eeg_host[idx]), data_sharding(mesh, 3))
-                state, metrics = step(state, batch, subs[it])
-                losses.append(metrics["loss"])
-            return state, jnp.stack(losses)
+        state = put_replicated(mesh, state)
+        eeg_g, n_local = shard_corpus(mesh, np.asarray(train_eeg, dtype=np.float32))
+        gather = make_local_gather(mesh)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_epoch_meshed(state, idx_all, subs, eeg):
+            def body(st, args):
+                idx, sub = args
+                st, metrics = raw_step(st, gather(eeg, idx), sub)
+                return st, metrics["loss"]
+
+            return jax.lax.scan(body, state, (idx_all, subs))
+
+        def epoch_call(state, epoch, subs):
+            # niter_per_ep steps of batch_size_per_device local draws — the
+            # reference's floor(n/global_batch) drop-tail epoch length
+            idx = local_epoch_indices(
+                n_local, n_devices, cfg.batch_size_per_device, niter_per_ep,
+                cfg.seed, epoch,
+            )
+            return run_epoch_meshed(state, put_global(mesh, idx, index_spec()), subs, eeg_g)
     history: Dict[str, List] = {"loss": [], "epoch_time_s": [], "windows_per_s": []}
 
     start_epoch = 0
@@ -428,21 +481,20 @@ def dino_selfdistill_train(
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
-        batches, _ = epoch_batches(n, global_batch, seed=cfg.seed, epoch=epoch)
-        batches = batches[:niter_per_ep]
         # one split for the whole epoch (not one dispatch per step); the
         # stream stays keyed off the resume-fast-forwarded `key`
         key, ek = jax.random.split(key)
-        subs = jax.random.split(ek, len(batches))
-        state, losses = epoch_call(state, batches, subs)
+        subs = jax.random.split(ek, niter_per_ep)
+        state, losses = epoch_call(state, epoch, subs)
         if resume is not None:
             latest["state"] = state  # preemption handler granularity: one epoch
-        # ONE host sync per epoch (each float() is a round trip)
-        loss = float(jnp.mean(losses))
+        # ONE host sync per epoch (each float() is a round trip);
+        # np.asarray also handles multi-process fully-replicated outputs
+        loss = float(np.mean(np.asarray(losses)))
         dt = time.perf_counter() - t0
         history["loss"].append(loss)
         history["epoch_time_s"].append(dt)
-        history["windows_per_s"].append(len(batches) * global_batch / dt)
+        history["windows_per_s"].append(niter_per_ep * global_batch / dt)
         log_fn(f"EPOCH {epoch} dino_loss: {loss:.6f} ({history['windows_per_s'][-1]:.1f} windows/s)")
         if resume is not None:
             latest["state"] = state

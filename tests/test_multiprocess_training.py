@@ -1,0 +1,118 @@
+"""Multi-PROCESS meshed training equivalence (the reference's real DDP
+world: torch.multiprocessing.spawn + DistributedSampler,
+EEG-BarlowNetworks/train.py:71-99, utils/utils.py:467-503).
+
+Two real OS processes × 4 virtual CPU devices each form one global 8-device
+data mesh; the flagship feature-distill recipe trains on it with corpora
+built via jax.make_array_from_process_local_data (each process contributes
+only its addressable shards — cerebra.parallel.dataflow). Because every
+dataflow decision is deterministic in (seed, epoch) and independent of the
+process layout, the per-epoch losses must equal a single-process 8-device
+run bit-for-bit.
+
+Marked slow: two cold python+jax starts plus a distributed rendezvous.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.environ["CEREBRA_REPO"])
+    from cerebra.cli.common import init_distributed
+
+    init_distributed()
+    assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+    import numpy as np
+    from jax.sharding import Mesh
+    from cerebra.data import make_synthetic_corpus
+    from cerebra.train.recipes import FeatureDistillConfig, feature_distill_train
+
+    corpus = make_synthetic_corpus(
+        seed=0, n_per_class=8, n_classes=4, n_channels=8, n_samples=32,
+        feature_dim=16, class_signal_scale=2.0,
+    )
+    cfg = FeatureDistillConfig(
+        num_epochs=2, batch_size=16, validation_frequency=0,
+        lstm_size=8, lstm_layers=1, warmup_teacher_temp_epochs=1,
+        warmup_teacher_temp=1.0, teacher_temp=0.5,
+    )
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    _, hist = feature_distill_train(
+        corpus.eeg, corpus.image_features, corpus.labels,
+        corpus.eeg[:4], corpus.image_features[:4], corpus.labels[:4],
+        config=cfg, mesh=mesh, log_fn=lambda s: None,
+    )
+    print("LOSSES " + json.dumps(hist["train_loss"]))
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env_base = {
+        **os.environ,
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "WORLD_SIZE": "2",
+        "CEREBRA_REPO": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env_base, "RANK": str(rank)},
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    losses = {}
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        line = [l for l in out.splitlines() if l.startswith("LOSSES ")]
+        assert line, out
+        losses[rank] = json.loads(line[0][len("LOSSES "):])
+    # both ranks observe the identical global loss stream
+    assert losses[0] == losses[1]
+
+    # single-process 8-virtual-device run (the suite's own devices) must
+    # produce the same stream: the dataflow is layout-invariant
+    from cerebra.data import make_synthetic_corpus
+    from cerebra.parallel.mesh import make_mesh
+    from cerebra.train.recipes import FeatureDistillConfig, feature_distill_train
+
+    corpus = make_synthetic_corpus(
+        seed=0, n_per_class=8, n_classes=4, n_channels=8, n_samples=32,
+        feature_dim=16, class_signal_scale=2.0,
+    )
+    cfg = FeatureDistillConfig(
+        num_epochs=2, batch_size=16, validation_frequency=0,
+        lstm_size=8, lstm_layers=1, warmup_teacher_temp_epochs=1,
+        warmup_teacher_temp=1.0, teacher_temp=0.5,
+    )
+    _, hist = feature_distill_train(
+        corpus.eeg, corpus.image_features, corpus.labels,
+        corpus.eeg[:4], corpus.image_features[:4], corpus.labels[:4],
+        config=cfg, mesh=make_mesh(("data",)), log_fn=lambda s: None,
+    )
+    np.testing.assert_allclose(hist["train_loss"], losses[0], rtol=1e-6)

@@ -54,17 +54,22 @@ def test_tp_param_sharding():
 
 
 def test_dp_training_matches_single_device():
-    """The DDP equivalence check the reference never had: training with the
-    batch sharded over an 8-device data mesh must produce the same losses as
-    single-device (identical math — jit inserts the grad psum)."""
+    """The DDP equivalence check the reference never had: with the global
+    batch = the whole training set (full-batch SGD), every epoch's batch is
+    the same SET of samples under any layout — shard-local sampling included
+    — and the loss/grad are permutation-invariant batch means, so the meshed
+    epoch-scan (psum'd grads, shard_map gather) must reproduce the
+    single-device losses exactly, epoch by epoch."""
     corpus = make_synthetic_corpus(
         seed=0, n_per_class=8, n_classes=4, n_channels=8, n_samples=32,
         feature_dim=16, class_signal_scale=2.0,
     )
     tr = np.arange(corpus.n) % 4 != 0
     va = ~tr
+    n_train = int(tr.sum())
+    assert n_train % 8 == 0  # divides the mesh: no wrap-padding anywhere
     cfg = FeatureDistillConfig(
-        num_epochs=3, batch_size=8, validation_frequency=0,
+        num_epochs=3, batch_size=n_train, validation_frequency=0,
         lstm_size=8, lstm_layers=1, warmup_teacher_temp_epochs=2,
         warmup_teacher_temp=1.0, teacher_temp=0.5,
     )
@@ -78,3 +83,44 @@ def test_dp_training_matches_single_device():
     np.testing.assert_allclose(
         hist_single["train_loss"], hist_dp["train_loss"], rtol=1e-4, atol=1e-5
     )
+
+
+def test_meshed_minibatch_training_learns_and_is_deterministic():
+    """Shard-local minibatch epochs (multiple scan steps, wrap-padded shards:
+    30 train rows over 8 devices → n_local 4): no sample dropped, the loss
+    goes down, and reruns are bitwise-deterministic."""
+    corpus = make_synthetic_corpus(
+        seed=1, n_per_class=10, n_classes=3, n_channels=8, n_samples=32,
+        feature_dim=16, class_signal_scale=2.0,
+    )
+    cfg = FeatureDistillConfig(
+        num_epochs=4, batch_size=16, validation_frequency=0,
+        lstm_size=8, lstm_layers=1, warmup_teacher_temp_epochs=2,
+        warmup_teacher_temp=1.0, teacher_temp=0.5,
+    )
+    args = (
+        corpus.eeg, corpus.image_features, corpus.labels,
+        corpus.eeg[:4], corpus.image_features[:4], corpus.labels[:4],
+    )
+    mesh = make_mesh(("data",))
+    _, h1 = feature_distill_train(*args, config=cfg, mesh=mesh, log_fn=lambda s: None)
+    _, h2 = feature_distill_train(*args, config=cfg, mesh=mesh, log_fn=lambda s: None)
+    assert h1["train_loss"] == h2["train_loss"]
+    assert h1["train_loss"][-1] < h1["train_loss"][0]
+
+
+def test_local_epoch_indices_cover_every_sample():
+    """Every local sample index appears every epoch (wrap, never drop), and
+    different devices draw independent permutations."""
+    from cerebra.parallel.dataflow import local_epoch_indices
+
+    idx = local_epoch_indices(n_local=5, n_data=4, batch_local=2, n_steps=3, seed=0, epoch=1)
+    assert idx.shape == (3, 4, 2)
+    per_device = idx.transpose(1, 0, 2).reshape(4, -1)
+    for d in range(4):
+        assert set(per_device[d][:5].tolist()) == set(range(5))
+    assert not np.array_equal(per_device[0], per_device[1])
+    # deterministic in (seed, epoch)
+    again = local_epoch_indices(5, 4, 2, 3, seed=0, epoch=1)
+    np.testing.assert_array_equal(idx, again)
+    assert not np.array_equal(idx, local_epoch_indices(5, 4, 2, 3, seed=0, epoch=2))
