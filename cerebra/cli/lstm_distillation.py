@@ -101,14 +101,18 @@ def main(argv=None):
         student = jax.tree.map(np.asarray, state.student_params)
         teacher = jax.tree.map(np.asarray, state.teacher_params)
         center = np.asarray(state.center)
+        kw = dict(
+            args=vars(FLAGS), opt_state=state.opt_state,
+            lr=FLAGS.lr, weight_decay=FLAGS.weight_decay,
+        )
         export_dino_pth(
             os.path.join(FLAGS.log_dir, "checkpoint.pth"),
-            student, teacher, center, epoch, args=vars(FLAGS),
+            student, teacher, center, epoch, **kw,
         )
         if FLAGS.saveckp_freq and epoch % FLAGS.saveckp_freq == 0:
             export_dino_pth(
                 os.path.join(FLAGS.log_dir, f"checkpoint{epoch:04}.pth"),
-                student, teacher, center, epoch, args=vars(FLAGS),
+                student, teacher, center, epoch, **kw,
             )
 
     def log_fn(msg):

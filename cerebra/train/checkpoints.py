@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
+import jax
 import numpy as np
 
 from cerebra.models.lstm import export_torch_state_dict, import_torch_state_dict
@@ -105,6 +106,152 @@ def torch_state_dict_to_wrapped(sd: Dict) -> Dict:
     return {"backbone": backbone, "head": _head_from_torch(head_sd)}
 
 
+# ---------------------------------------------- optimizer-state interop
+_LSTM_KIND_ORDER = ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
+
+
+def _registration_order(keys) -> list:
+    """Sort torch state-dict keys into nn.Module PARAMETER REGISTRATION
+    order for the reference student — MultiCropWrapper(backbone=Model LSTM,
+    head=DINOHead) (utils/utils.py:607-612): torch optimizer param ids are
+    positions in this order, not dict order."""
+
+    def rank(k):
+        if k.startswith("backbone.lstm."):
+            kind, layer = k[len("backbone.lstm."):].rsplit("_l", 1)
+            return (0, int(layer), _LSTM_KIND_ORDER.index(kind), k)
+        if k.startswith("backbone.fc."):
+            return (1, 0, 0 if k.endswith(".weight") else 1, k)
+        if k.startswith("backbone.head."):
+            return (2, 0, 0 if k.endswith(".weight") else 1, k)
+        if k.startswith("head.mlp."):
+            idx = int(k.split(".")[2])
+            return (3, idx, 0 if k.endswith(".weight") else 1, k)
+        if k == "head.last_layer.weight_g":  # weight_norm registers g then v
+            return (4, 0, 0, k)
+        if k == "head.last_layer.weight_v":
+            return (4, 0, 1, k)
+        return (5, 0, 0, k)
+
+    return sorted(keys, key=rank)
+
+
+def _grouped_param_names(sd: Dict[str, np.ndarray]) -> list:
+    """Reference get_params_groups (utils/utils.py:636-647): group 0 =
+    regularized, group 1 = biases/1-D params; torch ids enumerate group 0
+    then group 1."""
+    ordered = _registration_order(sd.keys())
+    reg = [k for k in ordered if not (k.endswith(".bias") or np.ndim(sd[k]) == 1)]
+    not_reg = [k for k in ordered if k.endswith(".bias") or np.ndim(sd[k]) == 1]
+    return [reg, not_reg]
+
+
+def _find_adam_state(opt_state):
+    """Locate the ScaleByAdamState inside an optax chain/inject wrapper."""
+    import optax
+
+    found = []
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            found.append(node)
+            return
+        if isinstance(node, tuple):  # includes NamedTuple optax states
+            for x in node:
+                walk(x)
+
+    walk(opt_state)
+    if not found:
+        raise ValueError("no ScaleByAdamState found in optimizer state")
+    return found[0]
+
+
+def _replace_adam_state(opt_state, new_adam):
+    import optax
+
+    def rebuild(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return new_adam
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[rebuild(x) for x in node])
+        if isinstance(node, tuple):
+            return tuple(rebuild(x) for x in node)
+        return node
+
+    return rebuild(opt_state)
+
+
+_TORCH_ADAMW_GROUP_DEFAULTS = dict(
+    lr=0.0005, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.04, amsgrad=False,
+    maximize=False, foreach=None, capturable=False, differentiable=False,
+    fused=None,
+)
+
+
+def adamw_state_to_torch(opt_state, lr: float = 0.0005, weight_decay: float = 0.04) -> dict:
+    """optax AdamW moments → `torch.optim.AdamW.state_dict()` layout, so the
+    reference's restart_from_checkpoint (utils/utils.py:152-184) restores a
+    REAL optimizer from our checkpoint instead of silently resetting it.
+
+    The exp_avg/exp_avg_sq trees mirror the param tree, so the same
+    flax→torch name mapping applies; ids follow the reference's two
+    param_groups (regularized first — utils/utils.py:636-647)."""
+    import torch
+
+    adam = _find_adam_state(opt_state)
+    mu_sd = wrapped_to_torch_state_dict(jax.tree.map(np.asarray, adam.mu))
+    nu_sd = wrapped_to_torch_state_dict(jax.tree.map(np.asarray, adam.nu))
+    step = float(np.asarray(adam.count))
+    groups = _grouped_param_names(mu_sd)
+    state, param_groups, next_id = {}, [], 0
+    for gi, names in enumerate(groups):
+        ids = []
+        for k in names:
+            state[next_id] = {
+                "step": torch.tensor(step),
+                "exp_avg": torch.from_numpy(np.ascontiguousarray(mu_sd[k])),
+                "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(nu_sd[k])),
+            }
+            ids.append(next_id)
+            next_id += 1
+        g = dict(_TORCH_ADAMW_GROUP_DEFAULTS)
+        g["lr"] = lr
+        g["weight_decay"] = weight_decay if gi == 0 else 0.0
+        g["params"] = ids
+        param_groups.append(g)
+    return {"state": state, "param_groups": param_groups}
+
+
+def adamw_state_from_torch(opt_sd: dict, opt_state_template):
+    """Inverse: a torch AdamW state_dict (reference checkpoint "optimizer"
+    slot) → our optax opt_state with mu/nu/count restored. Resuming a
+    reference run keeps its Adam moments instead of restarting them."""
+    import jax.numpy as jnp
+    import optax
+
+    adam = _find_adam_state(opt_state_template)
+    mu_sd_template = wrapped_to_torch_state_dict(jax.tree.map(np.asarray, adam.mu))
+    groups = _grouped_param_names(mu_sd_template)
+    flat_names = [k for names in groups for k in names]
+    ids = [i for g in opt_sd["param_groups"] for i in g["params"]]
+    if len(ids) != len(flat_names):
+        raise ValueError(
+            f"optimizer state has {len(ids)} params; expected {len(flat_names)}"
+        )
+    mu_sd, nu_sd, step = {}, {}, 0.0
+    for name, pid in zip(flat_names, ids):
+        entry = opt_sd["state"][pid]
+        mu_sd[name] = np.asarray(entry["exp_avg"], dtype=np.float32)
+        nu_sd[name] = np.asarray(entry["exp_avg_sq"], dtype=np.float32)
+        step = float(np.asarray(entry["step"]))
+    new_adam = optax.ScaleByAdamState(
+        count=jnp.asarray(step, dtype=jnp.int32),
+        mu=torch_state_dict_to_wrapped(mu_sd),
+        nu=torch_state_dict_to_wrapped(nu_sd),
+    )
+    return _replace_adam_state(opt_state_template, new_adam)
+
+
 def export_dino_pth(
     path: str,
     student_params: Dict,
@@ -112,8 +259,12 @@ def export_dino_pth(
     center: np.ndarray,
     epoch: int,
     args: Optional[dict] = None,
+    opt_state=None,
+    lr: float = 0.0005,
+    weight_decay: float = 0.04,
 ) -> None:
-    """Write the LstmDistillation.py:634-646 checkpoint layout."""
+    """Write the LstmDistillation.py:634-646 checkpoint layout (with a real
+    torch-AdamW "optimizer" slot when `opt_state` is given)."""
     import torch
 
     def to_t(sd):
@@ -122,7 +273,11 @@ def export_dino_pth(
     payload = {
         "student": to_t(wrapped_to_torch_state_dict(student_params, ddp_module_prefix=True)),
         "teacher": to_t(wrapped_to_torch_state_dict(teacher_params)),
-        "optimizer": {},  # optax state is saved via orbax; torch can't consume it
+        "optimizer": (
+            adamw_state_to_torch(opt_state, lr=lr, weight_decay=weight_decay)
+            if opt_state is not None
+            else {}
+        ),
         "epoch": int(epoch) + 1,
         "args": args or {},
         "dino_loss": {"center": torch.from_numpy(np.asarray(center))},
@@ -131,15 +286,26 @@ def export_dino_pth(
     torch.save(payload, path)
 
 
-def import_dino_pth(path: str):
+def import_dino_pth(path: str, opt_state_template=None):
     """Read a reference-layout checkpoint → (student_params, teacher_params,
-    center, epoch). Applies the strict `backbone.`-strip semantics of the
-    eval loader (LstmDistillFromDinoV2Eval.py:309-313) via
-    torch_state_dict_to_wrapped."""
+    center, epoch[, opt_state]). Applies the strict `backbone.`-strip
+    semantics of the eval loader (LstmDistillFromDinoV2Eval.py:309-313) via
+    torch_state_dict_to_wrapped. With `opt_state_template`, also restores
+    the torch-AdamW "optimizer" slot into optax form (the
+    restart_from_checkpoint contract, utils/utils.py:152-184)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     student = torch_state_dict_to_wrapped(ckpt["student"])
     teacher = torch_state_dict_to_wrapped(ckpt["teacher"])
     center = np.asarray(ckpt.get("dino_loss", {}).get("center", np.zeros((1, 1))))
-    return student, teacher, center, int(ckpt.get("epoch", 0))
+    epoch = int(ckpt.get("epoch", 0))
+    if opt_state_template is None:
+        return student, teacher, center, epoch
+    opt_sd = ckpt.get("optimizer") or {}
+    opt_state = (
+        adamw_state_from_torch(opt_sd, opt_state_template)
+        if opt_sd
+        else opt_state_template
+    )
+    return student, teacher, center, epoch, opt_state
