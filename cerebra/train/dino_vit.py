@@ -217,7 +217,10 @@ def dino_vit_train(
             shard_corpus,
         )
 
-        state = put_replicated(mesh, state)
+        from cerebra.parallel.tp import shard_dino_state
+
+        # TP: the out_dim-65536 prototype layer + center shard over 'model'
+        state = shard_dino_state(mesh, state, out_dim=cfg.out_dim)
         eeg_g, n_local = shard_corpus(mesh, eeg)
         imgs_g = None if imgs_host is None else shard_corpus(mesh, imgs_host)[0]
         gather = make_local_gather(mesh)

@@ -441,7 +441,10 @@ def dino_selfdistill_train(
             shard_corpus,
         )
 
-        state = put_replicated(mesh, state)
+        from cerebra.parallel.tp import shard_dino_state
+
+        # TP: prototype layer + center shard over a 'model' axis when present
+        state = shard_dino_state(mesh, state, out_dim=cfg.out_dim)
         eeg_g, n_local = shard_corpus(mesh, np.asarray(train_eeg, dtype=np.float32))
         gather = make_local_gather(mesh)
 
