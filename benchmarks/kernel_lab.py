@@ -844,6 +844,35 @@ def exp_bwdstack():
 EXPS["bwdstack"] = exp_bwdstack
 
 
+def exp_rcstack(B=1024, H=96):
+    """Recompute-backward variant (store h/c, re-derive gates — 5H of
+    stream instead of 14H round trip) vs the shipped 7H-residual kernel at
+    headline shapes, timed through the full fwd+bwd grad."""
+    from cerebra.models import pallas_lstm_stack as S
+
+    rng = np.random.default_rng(0)
+    L, Hp, Tt = 2, 128, 460
+    x = jnp.asarray(rng.normal(size=(Tt, B, H)) * 0.1, dtype=jnp.bfloat16)
+    layers = []
+    for l in range(L):
+        in_dim = H if l == 0 else Hp
+        layers.append((
+            jnp.asarray(rng.normal(size=(in_dim, 4 * Hp)) * 0.1, dtype=jnp.bfloat16),
+            jnp.asarray(rng.normal(size=(Hp, 4 * Hp)) * 0.1, dtype=jnp.bfloat16),
+            jnp.asarray(rng.normal(size=(4 * Hp,)) * 0.1, dtype=jnp.bfloat16),
+        ))
+    layers = tuple(layers)
+
+    for tag, fn in (("shipped", S.lstm_stack_pallas), ("recompute", S.lstm_stack_pallas_rc)):
+        grad = jax.jit(jax.grad(
+            lambda xx, ll: (fn(xx, ll)[-1].astype(jnp.float32) ** 2).sum(), argnums=(1,)))
+        dt = timeit(grad, x, layers)
+        print(f"[rcstack] {tag}: {dt*1e3:.3f} ms ({dt/Tt*1e6:.2f} us/step)", flush=True)
+
+
+EXPS["rcstack"] = exp_rcstack
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)

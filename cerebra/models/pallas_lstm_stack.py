@@ -151,6 +151,48 @@ def _fwd_train_kernel(n_layers, H, *refs):
         qf_ref[0] = qf.astype(qf_ref.dtype)
 
 
+def _fwd_train_rc_kernel(n_layers, H, *refs):
+    """Recompute-backward forward: store only (h_all, c_all) per layer —
+    2H of residual stream instead of 7H (h + 4H prefac + 2H qf). The
+    backward re-derives the gate activations from the streams (2 extra
+    matmuls per layer-step), trading MXU flops for HBM bandwidth on a
+    bandwidth-bound kernel."""
+    # refs: x, (w_ih, w_hh, b) × L, | outs: (h_all, c_all) × L, | h_s, c_s
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + 3 * n_layers]
+    out_refs = refs[1 + 3 * n_layers : 1 + 5 * n_layers]
+    h_s, c_s = refs[-2], refs[-1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[...] = jnp.zeros_like(h_s)
+        c_s[...] = jnp.zeros_like(c_s)
+
+    inp = x_ref[0]
+    for l in range(n_layers):
+        w_ih, w_hh, bias = w_refs[3 * l], w_refs[3 * l + 1], w_refs[3 * l + 2]
+        h = h_s[l]
+        c_prev = c_s[l]
+        gates = (
+            jnp.dot(inp, w_ih[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(w_hh.dtype), w_hh[:], preferred_element_type=jnp.float32)
+            + bias[:].astype(jnp.float32)
+        )
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c_new = f * c_prev + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_s[l] = h_new
+        c_s[l] = c_new
+        h_ref, c_ref = out_refs[2 * l : 2 * l + 2]
+        inp = h_new.astype(x_ref.dtype)
+        h_ref[0] = inp
+        c_ref[0] = c_new.astype(c_ref.dtype)
+
+
 def _fwd_infer_kernel(n_layers, H, *refs):
     # refs: x, (w_ih, w_hh, b) × L | h_top_all | h_s, c_s
     x_ref = refs[0]
@@ -260,6 +302,90 @@ def _bwd_kernel(n_layers, H, C, *refs):
     dx_ref[0] = g_up.astype(dx_ref.dtype)
 
 
+def _bwd_rc_kernel(n_layers, H, C, *refs):
+    """Backward with gate recomputation: streams h/c only. The recomputed
+    f32 gates are BIT-IDENTICAL to the forward's (same bf16 inp/h_prev
+    operands, same f32 accumulation); only the c_prev-dependent prefactor
+    sees c through one extra bf16 rounding (the shipped kernel rounds the
+    whole prefactor instead)."""
+    # refs: g_top, x_t,
+    #       (h_prev, c_prev, c_cur, w_ih, w_hh, b, w_hh_t, w_ih_t) × L,
+    #       h_cur × (L-1) [inputs to layers 1..L-1 at time t],
+    # outs: dx, (dwih, dwhh, db) × L | scratch: dh_s, dc_s
+    g_ref = refs[0]
+    x_ref = refs[1]
+    per_l = refs[2 : 2 + 8 * n_layers]
+    h_cur = refs[2 + 8 * n_layers : 1 + 9 * n_layers]
+    dx_ref = refs[1 + 9 * n_layers]
+    dw_refs = refs[2 + 9 * n_layers : 2 + 12 * n_layers]
+    dh_s, dc_s = refs[-2], refs[-1]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    first = jnp.logical_and(t == 0, b == 0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_s[...] = jnp.zeros_like(dh_s)
+        dc_s[...] = jnp.zeros_like(dc_s)
+
+    @pl.when(first)
+    def _():
+        for r in dw_refs:
+            r[...] = jnp.zeros_like(r)
+
+    bf16 = per_l[0].dtype == jnp.bfloat16
+    is_t0 = t == pl.num_programs(1) - 1  # final grid row processes time 0
+    g_up = g_ref[0].astype(jnp.float32)
+    for l in reversed(range(n_layers)):
+        (h_prev_ref, c_prev_ref, c_cur_ref, w_ih_ref, w_hh_ref, b_ref,
+         w_hh_t_ref, w_ih_t_ref) = per_l[8 * l : 8 * l + 8]
+        dwih_ref, dwhh_ref, db_ref = dw_refs[3 * l : 3 * l + 3]
+        inp = x_ref[0] if l == 0 else h_cur[l - 1][0]
+        h_prev = jnp.where(is_t0, jnp.zeros_like(h_prev_ref[0]), h_prev_ref[0])
+        c_prev = jnp.where(
+            is_t0, jnp.zeros_like(c_prev_ref[0]), c_prev_ref[0]
+        ).astype(jnp.float32)
+        gates = (
+            jnp.dot(inp, w_ih_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h_prev, w_hh_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[:].astype(jnp.float32)
+        )
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        tanh_c = jnp.tanh(c_cur_ref[0].astype(jnp.float32))
+
+        dh = dh_s[l] + g_up
+        dc = dc_s[l] + dh * (o - o * tanh_c * tanh_c)
+        if bf16:
+            dc_n, dh_n = dc.astype(jnp.bfloat16), dh.astype(jnp.bfloat16)
+            pf = lambda a: a.astype(jnp.bfloat16)
+        else:
+            dc_n, dh_n = dc, dh
+            pf = lambda a: a
+        dgates = jnp.concatenate(
+            [dc_n * pf(g * (i - i * i)),
+             dc_n * pf(c_prev * (f - f * f)),
+             dc_n * pf(i - g * (i * g)),
+             dh_n * pf(tanh_c * (o - o * o))],
+            axis=-1,
+        )
+        dh_s[l] = jnp.dot(
+            dgates.astype(w_hh_t_ref.dtype), w_hh_t_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        dc_s[l] = dc * f
+        dwih_ref[...] += _contract_rows(inp.astype(dgates.dtype), dgates)
+        dwhh_ref[...] += _contract_rows(h_prev.astype(dgates.dtype), dgates)
+        db_ref[...] += jnp.sum(dgates.astype(jnp.float32), axis=0, keepdims=True)
+        g_up = jnp.dot(
+            dgates.astype(w_ih_t_ref.dtype), w_ih_t_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+    dx_ref[0] = g_up.astype(dx_ref.dtype)
+
+
 def _row_spec(width, Bt):
     return pl.BlockSpec((1, Bt, width), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM)
 
@@ -357,6 +483,141 @@ def _fwd_infer_impl(x, layers):
         ],
         interpret=_interpret(),
     )(*args)
+
+
+def _fwd_train_rc_impl(x, layers):
+    T, B, C = x.shape
+    L = len(layers)
+    _, H = _layer_dims(x, layers)
+    Bt = _pick_tile(B, H, L, x.dtype.itemsize)
+    nb = B // Bt
+    four_h = 4 * H
+
+    in_specs = [_row_spec(C, Bt)]
+    args = [x]
+    for w_ih, w_hh, bias in layers:
+        in_specs += [
+            _whole_spec(w_ih.shape),
+            _whole_spec(w_hh.shape),
+            _whole_spec((1, four_h)),
+        ]
+        args += [w_ih, w_hh, bias.reshape(1, four_h)]
+    out_specs, out_shapes = [], []
+    for _ in range(L):
+        out_specs += [_row_spec(H, Bt), _row_spec(H, Bt)]
+        out_shapes += [
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+        ]
+    outs = pl.pallas_call(
+        functools.partial(_fwd_train_rc_kernel, L, H),
+        grid=(nb, T),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*args)
+    return outs  # [(h_all, c_all)] × L flattened
+
+
+@jax.custom_vjp
+def lstm_stack_pallas_rc(
+    x: jax.Array, layers: Sequence[Tuple[jax.Array, jax.Array, jax.Array]]
+):
+    """`lstm_stack_pallas` with the recompute backward: the forward stores
+    only (h, c) per layer (2H instead of 7H of residual stream) and the
+    backward re-derives gate activations with 2 extra matmuls per
+    layer-step. Same contract, same inference kernel."""
+    layers = tuple(tuple(l) for l in layers)
+    return _fwd_infer_impl(x, layers)
+
+
+def _vjp_fwd_rc(x, layers):
+    layers = tuple(tuple(l) for l in layers)
+    outs = _fwd_train_rc_impl(x, layers)
+    h_top = outs[2 * (len(layers) - 1)]
+    return h_top, (x, layers, outs)
+
+
+def _vjp_bwd_rc(residuals, g):
+    x, layers, outs = residuals
+    T, B, C = x.shape
+    L = len(layers)
+    H = layers[0][1].shape[0]
+    four_h = 4 * H
+    Bt = _pick_tile(B, H, L, x.dtype.itemsize)
+    nb = B // Bt
+
+    prev_spec = pl.BlockSpec(
+        (1, Bt, H),
+        lambda b, t: (jnp.maximum(T - 2 - t, 0), b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [_rev_row_spec(H, Bt, T), _rev_row_spec(C, Bt, T)]
+    args = [g.astype(x.dtype), x]
+    for l in range(L):
+        h_all, c_all = outs[2 * l : 2 * l + 2]
+        w_ih, w_hh, bias = layers[l]
+        in_dim = C if l == 0 else H
+        in_specs += [
+            prev_spec,                       # h at t-1
+            prev_spec,                       # c at t-1
+            _rev_row_spec(H, Bt, T),         # c at t
+            _whole_spec((in_dim, four_h)),   # w_ih (recompute)
+            _whole_spec((H, four_h)),        # w_hh (recompute)
+            _whole_spec((1, four_h)),        # bias (recompute)
+            _whole_spec((four_h, H)),        # w_hh^T (chain)
+            _whole_spec((four_h, in_dim)),   # w_ih^T (chain)
+        ]
+        args += [
+            h_all, c_all, c_all, w_ih, w_hh, bias.reshape(1, four_h),
+            jnp.swapaxes(w_hh, 0, 1), jnp.swapaxes(w_ih, 0, 1),
+        ]
+    for l in range(L - 1):
+        in_specs.append(_rev_row_spec(H, Bt, T))
+        args.append(outs[2 * l])
+    out_specs = [_rev_row_spec(C, Bt, T)]
+    out_shapes = [jax.ShapeDtypeStruct((T, B, C), x.dtype)]
+    for l in range(L):
+        in_dim = C if l == 0 else H
+        out_specs += [
+            _whole_spec((in_dim, four_h)),
+            _whole_spec((H, four_h)),
+            _whole_spec((1, four_h)),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((in_dim, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((H, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((1, four_h), jnp.float32),
+        ]
+    res = pl.pallas_call(
+        functools.partial(_bwd_rc_kernel, L, H, C),
+        grid=(nb, T),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*args)
+    dx = res[0]
+    dlayers = []
+    for l in range(L):
+        dwih, dwhh, db = res[1 + 3 * l : 4 + 3 * l]
+        w_ih, w_hh, bias = layers[l]
+        dlayers.append(
+            (dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype), db[0].astype(bias.dtype))
+        )
+    return dx, tuple(dlayers)
+
+
+lstm_stack_pallas_rc.defvjp(_vjp_fwd_rc, _vjp_bwd_rc)
 
 
 @jax.custom_vjp

@@ -78,6 +78,29 @@ def test_grads_match_scan(L):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
 
 
+@pytest.mark.parametrize("L", [1, 2, 3])
+def test_recompute_backward_grads_match_scan(L):
+    """The recompute variant (stores h/c only, re-derives gates in the
+    backward) must produce the same forward and the same x/w_ih/w_hh/b
+    gradients as the scan reference."""
+    from cerebra.models.pallas_lstm_stack import lstm_stack_pallas_rc
+
+    x, layers = make_case(T=5, B=8, C=5, H=4, L=L, seed=3)
+    rng = np.random.default_rng(9)
+    w_out = jnp.asarray(rng.normal(size=(5, 8, 4)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(lstm_stack_pallas_rc(x, layers)),
+        np.asarray(scan_reference(x, layers)), atol=1e-5, rtol=1e-5,
+    )
+    g_rc = jax.grad(lambda x, l: jnp.sum(lstm_stack_pallas_rc(x, l) * w_out),
+                    argnums=(0, 1))(x, layers)
+    g_scan = jax.grad(lambda x, l: jnp.sum(scan_reference(x, l) * w_out),
+                      argnums=(0, 1))(x, layers)
+    for a, b in zip(jax.tree.leaves(g_rc), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
 def test_last_step_grad_only():
     """The recipes' real cotangent shape: upstream grad only on h[-1]."""
     x, layers = make_case(T=6, B=8, C=5, H=4, L=2, seed=3)

@@ -109,6 +109,8 @@ def test_meshed_minibatch_training_learns_and_is_deterministic():
     assert h1["train_loss"][-1] < h1["train_loss"][0]
 
 
+@pytest.mark.slow  # two meshed recipe compiles; the fast suite's graft-entry
+# dryrun exercises the same TP path on the 4x2 mesh every run
 def test_tp_prototype_sharding_is_real_and_matches_dp():
     """VERDICT round-2 weak #4: TP must earn its name. The DINOHead
     prototype layer (last_layer v/g), the loss center, and the Adam moments

@@ -11,6 +11,7 @@ pretrained path of utils/ResnetFeatureRegressor.py:11-12 depends on.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -135,6 +136,7 @@ def test_importer_matches_init_tree_full_resnet50():
     assert got_shapes == want_shapes
 
 
+@pytest.mark.slow  # full ResNet-50 init compile (~30 s on CPU)
 def test_init_feature_regressor_grafts_pretrained(tmp_path):
     rng = np.random.default_rng(5)
     sd = random_torchvision_sd(rng, width=64, stage_sizes=(3, 4, 6, 3))
