@@ -53,6 +53,10 @@ def add_dino_flags(parser):
     parser.add_argument("--auto_resume", type=bool_flag, default=True,
                         help="resume from the newest orbax checkpoint in log_dir "
                              "(preemption-safe; replaces the SLURM requeue handlers)")
+    parser.add_argument("--resume_pth", type=str, default="",
+                        help="restart from a reference-layout checkpoint.pth "
+                             "(student/teacher/center/epoch + torch-AdamW "
+                             "optimizer moments — utils/utils.py:152-184)")
     return parser
 
 
@@ -126,6 +130,7 @@ def main(argv=None):
     state, hist = dino_selfdistill_train(
         train_eeg, config=cfg, mesh=make_cli_mesh(FLAGS), log_fn=log_fn,
         checkpoint_cb=checkpoint_cb, resume=resume,
+        resume_pth=FLAGS.resume_pth or None,
     )
     start_epoch = FLAGS.epochs - len(hist["loss"])  # >0 after auto-resume
     with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:

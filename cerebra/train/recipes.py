@@ -344,8 +344,14 @@ def dino_selfdistill_train(
     log_fn: Callable[[str], None] = print,
     checkpoint_cb: Optional[Callable[[int, DinoTrainState], None]] = None,
     resume=None,  # cerebra.train.resume.AutoResume for preemption-safe restarts
+    resume_pth: Optional[str] = None,  # reference-layout checkpoint.pth
 ) -> Tuple[DinoTrainState, Dict[str, List]]:
-    """LstmDistillation recipe (SURVEY.md §3.2). Returns (state, history)."""
+    """LstmDistillation recipe (SURVEY.md §3.2). Returns (state, history).
+
+    `resume_pth` restarts from a reference-layout torch checkpoint —
+    student/teacher/center/epoch AND the torch-AdamW optimizer moments
+    (restart_from_checkpoint semantics, utils/utils.py:152-184), so a run
+    started under the reference continues here without resetting Adam."""
     cfg = config
     # DP width is the DATA axis (a "model" axis, if present, shards tensors
     # inside the step, not the batch)
@@ -386,6 +392,26 @@ def dino_selfdistill_train(
         opt_state=tx.init(student_params),
         center=jnp.zeros((1, cfg.out_dim), dtype=jnp.float32),
     )
+
+    pth_start_epoch = 0
+    if resume_pth:
+        from cerebra.train.checkpoints import import_dino_pth
+
+        student, teacher, center, ck_epoch, opt_state = import_dino_pth(
+            resume_pth, opt_state_template=state.opt_state
+        )
+        if center.shape != (1, cfg.out_dim):  # ckpt without a center slot
+            center = np.asarray(state.center)
+        pth_start_epoch = min(int(ck_epoch), cfg.epochs)
+        state = DinoTrainState(
+            step=jnp.asarray(pth_start_epoch * niter_per_ep, jnp.int32),
+            student_params=jax.tree.map(jnp.asarray, student),
+            teacher_params=jax.tree.map(jnp.asarray, teacher),
+            opt_state=opt_state,
+            center=jnp.asarray(center, dtype=jnp.float32),
+        )
+        log_fn(f"resumed from {resume_pth} at epoch {pth_start_epoch} "
+               f"(optimizer moments restored)")
 
     step_kwargs = dict(
         backbone_apply=lambda p, x: backbone.apply(p, x, features_only=True),
@@ -467,7 +493,9 @@ def dino_selfdistill_train(
             return run_epoch_meshed(state, put_global(mesh, idx, index_spec()), subs, eeg_g)
     history: Dict[str, List] = {"loss": [], "epoch_time_s": [], "windows_per_s": []}
 
-    start_epoch = 0
+    start_epoch = pth_start_epoch
+    if pth_start_epoch:
+        key = jax.random.fold_in(key, pth_start_epoch * niter_per_ep)
     if resume is not None:
         saved_step, saved = resume.restore_latest(template=state)
         if saved is not None:

@@ -125,3 +125,48 @@ def test_export_import_dino_pth_roundtrips_optimizer(tmp_path):
     grads = jax.tree.map(lambda p: jnp.ones_like(p) * 0.1, params)
     updates, _ = tx.update(grads, restored, params)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(updates))
+
+
+def test_recipe_resumes_through_training_from_reference_pth(tmp_path):
+    """The restart_from_checkpoint contract end-to-end: train → export the
+    reference-layout checkpoint → resume a fresh recipe run FROM that .pth
+    and train a further epoch. The resumed run starts at the saved epoch
+    with restored Adam moments (nonzero count) and keeps training."""
+    import jax.numpy as jnp
+
+    from cerebra.train.checkpoints import _find_adam_state
+    from cerebra.train.recipes import DinoSelfDistillConfig, dino_selfdistill_train
+
+    rng = np.random.default_rng(0)
+    eeg = rng.normal(size=(16, 32, 4)).astype(np.float32)
+    cfg = DinoSelfDistillConfig(
+        epochs=2, batch_size_per_device=8, out_dim=16, embed_dim=8,
+        lstm_layers=1, global_length=16, local_length=8, warmup_epochs=0,
+    )
+    state, _ = dino_selfdistill_train(eeg, config=cfg, log_fn=lambda s: None)
+    path = str(tmp_path / "checkpoint.pth")
+    export_dino_pth(
+        path,
+        jax.tree.map(np.asarray, state.student_params),
+        jax.tree.map(np.asarray, state.teacher_params),
+        np.asarray(state.center), epoch=1,  # export writes epoch+1 = 2
+        opt_state=state.opt_state,
+    )
+    cfg3 = DinoSelfDistillConfig(
+        epochs=3, batch_size_per_device=8, out_dim=16, embed_dim=8,
+        lstm_layers=1, global_length=16, local_length=8, warmup_epochs=0,
+    )
+    state2, hist = dino_selfdistill_train(
+        eeg, config=cfg3, log_fn=lambda s: None, resume_pth=path
+    )
+    assert len(hist["loss"]) == 1  # epochs 2..3 only
+    assert np.isfinite(hist["loss"]).all()
+    niter = 16 // 8
+    assert int(state2.step) == 3 * niter
+    adam = _find_adam_state(state2.opt_state)
+    assert int(adam.count) > niter  # moments carried over, not reset
+    # the resumed run actually started from the exported weights
+    w0 = np.asarray(state.student_params["backbone"]["lstm"]["w_ih_l0"])
+    w2 = np.asarray(state2.student_params["backbone"]["lstm"]["w_ih_l0"])
+    assert not np.allclose(w0, w2)  # it trained further
+    assert np.abs(w0 - w2).max() < 0.3  # ...from w0, not from a fresh init
