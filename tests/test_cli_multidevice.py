@@ -54,6 +54,34 @@ def test_dino_selfdistill_cli_dp_meshed(workdir):
 
 
 @pytest.mark.slow
+def test_dino_vit_meshed_epoch_scan_with_tp(workdir):
+    """main_dino's recipe on a 4×2 (data×model) mesh: the meshed whole-epoch
+    scan runs with the out_dim-sharded head (TP), losses finite, prototype
+    weights still sharded afterwards."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from cerebra.parallel.mesh import make_mesh
+    from cerebra.train.dino_vit import DinoVitConfig, dino_vit_train
+
+    rng = np.random.default_rng(0)
+    eeg = rng.normal(size=(16, 48, 8)).astype(np.float32)
+    imgs = rng.random(size=(16, 32, 32, 3)).astype(np.float32)
+    cfg = DinoVitConfig(
+        arch="vit_tiny", patch_size=16, out_dim=32, epochs=2,
+        batch_size_per_device=2, global_size=32, local_size=16,
+        local_crops_number=2, warmup_epochs=0,
+    )
+    mesh = make_mesh(("data", "model"), (4, 2))
+    state, hist = dino_vit_train(eeg, imgs, config=cfg, mesh=mesh,
+                                 log_fn=lambda s: None)
+    assert np.isfinite(hist["loss"]).all()
+    v = state.student_params["head"]["last_layer"]["v"]
+    assert v.sharding.spec == P(None, "model")
+    assert int(state.step) == 2 * (16 // 8)
+
+
+@pytest.mark.slow
 def test_barlow_cli_auto_mesh(workdir):
     """--devices 0 (auto) on a batch of 4 clamps the mesh to 4 devices
     (largest divisor) instead of crashing like the reference's assert."""
