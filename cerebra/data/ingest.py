@@ -89,7 +89,15 @@ def convert_bdf_to_pth(
     """Full ingest; writes `out_path` and returns the RawCorpus."""
     from scipy.signal import resample_poly
 
-    bdf = read_raw_bdf(bdf_path)
+    # prefer the native multithreaded C++ decoder (bit-identical to the
+    # numpy reader — tests/test_ingest.py pins it); fall back when no
+    # toolchain is available
+    try:
+        from cerebra.data import native_bdf
+
+        bdf = native_bdf.read_raw_bdf(bdf_path) if native_bdf.available() else read_raw_bdf(bdf_path)
+    except Exception:
+        bdf = read_raw_bdf(bdf_path)
     sig = bdf.signals
     names = bdf.channel_names
 

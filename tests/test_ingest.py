@@ -33,6 +33,23 @@ def test_bdf_roundtrip(tmp_path):
     np.testing.assert_array_equal(bdf.status[: len(status)], status & 0xFFFF)
 
 
+def test_native_bdf_reader_matches_python(tmp_path):
+    """The C++ data-loader (native/bdf_reader.cpp, multithreaded 24-bit
+    decode) returns bit-identical signals/labels/status/rate to the
+    pure-numpy reader."""
+    from cerebra.data import native_bdf
+
+    if not native_bdf.available():
+        pytest.skip("no C++ toolchain")
+    path, _, _, _, _ = _make_recording(tmp_path)
+    py = read_raw_bdf(path)
+    nat = native_bdf.read_raw_bdf(path)
+    assert nat.channel_names == py.channel_names
+    assert nat.sample_rate == py.sample_rate
+    np.testing.assert_array_equal(nat.signals, py.signals)
+    np.testing.assert_array_equal(nat.status, py.status)
+
+
 def test_find_status_events():
     status = np.zeros(100, dtype=np.int64)
     status[10:14] = STATUS_EVENT
