@@ -70,21 +70,25 @@ def main(argv=None):
         pretrained_backbone=FLAGS.pretrained_backbone,
     )
 
+    from cerebra.cli.common import is_main_process
+
     stats_path = os.path.join(FLAGS.log_dir, "stats.txt")
 
     def log_fn(msg):
         print(msg)
-        with open(stats_path, "a") as f:
-            f.write(json.dumps({"msg": msg}) + "\n")
+        if is_main_process():  # rank-0 JSONL (train.py:153-161)
+            with open(stats_path, "a") as f:
+                f.write(json.dumps({"msg": msg}) + "\n")
 
     variables, hist = barlow_train(
         images, corpus.eeg, config=cfg,
         mesh=make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size), log_fn=log_fn
     )
 
-    from cerebra.train.checkpoints import save_orbax
+    if is_main_process():  # rank-0 checkpoint (train.py:162-165)
+        from cerebra.train.checkpoints import save_orbax
 
-    save_orbax(os.path.join(FLAGS.log_dir, "checkpoint_orbax"), variables)
+        save_orbax(os.path.join(FLAGS.log_dir, "checkpoint_orbax"), variables)
     return variables, hist
 
 

@@ -94,6 +94,19 @@ def make_cli_mesh(FLAGS, global_batch=None):
     return mesh
 
 
+def is_main_process() -> bool:
+    """Rank-0 gate for file artifacts (the reference's save_on_master /
+    rank-0 print-gating, utils/utils.py:447-464): under multi-process
+    launches every rank runs the same CLI, but only one may write
+    checkpoints/logs or they race on the same paths."""
+    import jax
+
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def init_distributed() -> None:
     """Multi-host init (replaces init_distributed_mode, utils/utils.py:
     467-503): like the reference's env:// path, RANK/WORLD_SIZE name this

@@ -72,12 +72,33 @@ def main(argv=None) -> int:
         t.start()
         procs.append(p)
         pumps.append(t)
+    # poll-and-terminate (the torchrun contract): the first nonzero exit
+    # kills the surviving ranks — otherwise they hang forever inside the
+    # distributed rendezvous / next collective waiting for the dead rank
+    import time
+
     rc = 0
-    for rank, p in enumerate(procs):
-        p.wait()
-        if p.returncode != 0:
-            print(f"[launch] rank {rank} exited with {p.returncode}", file=sys.stderr)
-            rc = rc or p.returncode
+    live = dict(enumerate(procs))
+    while live:
+        for rank in list(live):
+            code = live[rank].poll()
+            if code is None:
+                continue
+            del live[rank]
+            if code != 0:
+                print(f"[launch] rank {rank} exited with {code}; "
+                      f"terminating remaining ranks", file=sys.stderr)
+                rc = rc or code
+                for p in live.values():
+                    p.terminate()
+                for p in live.values():
+                    try:
+                        p.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        p.kill()
+                live = {}
+                break
+        time.sleep(0.1)
     for t in pumps:
         t.join(timeout=5)
     return rc

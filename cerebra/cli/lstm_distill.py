@@ -51,7 +51,9 @@ def main(argv=None):
         config=cfg, mesh=make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size), n_classes=corpus.catalog.n_classes,
     )
     best_params = hist["best_params"][0]
-    if best_params is not None:
+    from cerebra.cli.common import is_main_process
+
+    if best_params is not None and is_main_process():
         import torch
 
         from cerebra.models.lstm import export_torch_state_dict

@@ -69,8 +69,10 @@ def main(argv=None):
         config=cfg, mesh=make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size), n_classes=corpus.catalog.n_classes,
     )
 
+    from cerebra.cli.common import is_main_process
+
     best_params = hist["best_params"][0]
-    if best_params is not None:
+    if best_params is not None and is_main_process():
         import torch
 
         sd = export_torch_state_dict({"params": best_params})
@@ -78,9 +80,10 @@ def main(argv=None):
             {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
             os.path.join(FLAGS.log_dir, "lstm_dinov2_best_loss.pth"),
         )
-    with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:
-        for e, (loss, wps) in enumerate(zip(hist["train_loss"], hist["windows_per_s"])):
-            f.write(json.dumps({"epoch": e, "train_loss": loss, "windows_per_s": wps}) + "\n")
+    if is_main_process():
+        with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:
+            for e, (loss, wps) in enumerate(zip(hist["train_loss"], hist["windows_per_s"])):
+                f.write(json.dumps({"epoch": e, "train_loss": loss, "windows_per_s": wps}) + "\n")
     print("done; best val loss", hist["best"][0])
     return state, hist
 

@@ -101,13 +101,18 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from cerebra.cli.common import is_main_process
+
     def checkpoint_cb(epoch, state):
+        if not is_main_process():  # save_on_master (utils/utils.py:447-449)
+            return
         student = jax.tree.map(np.asarray, state.student_params)
         teacher = jax.tree.map(np.asarray, state.teacher_params)
         center = np.asarray(state.center)
         kw = dict(
             args=vars(FLAGS), opt_state=state.opt_state,
             lr=FLAGS.lr, weight_decay=FLAGS.weight_decay,
+            norm_last_layer=FLAGS.norm_last_layer,
         )
         export_dino_pth(
             os.path.join(FLAGS.log_dir, "checkpoint.pth"),
@@ -133,9 +138,10 @@ def main(argv=None):
         resume_pth=FLAGS.resume_pth or None,
     )
     start_epoch = FLAGS.epochs - len(hist["loss"])  # >0 after auto-resume
-    with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:
-        for e, loss in enumerate(hist["loss"], start=start_epoch):
-            f.write(json.dumps({"train_loss": loss, "epoch": e}) + "\n")
+    if is_main_process():
+        with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:
+            for e, loss in enumerate(hist["loss"], start=start_epoch):
+                f.write(json.dumps({"train_loss": loss, "epoch": e}) + "\n")
     return state, hist
 
 

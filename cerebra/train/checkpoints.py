@@ -136,11 +136,18 @@ def _registration_order(keys) -> list:
     return sorted(keys, key=rank)
 
 
-def _grouped_param_names(sd: Dict[str, np.ndarray]) -> list:
+_FROZEN_GAIN = "head.last_layer.weight_g"
+
+
+def _grouped_param_names(sd: Dict[str, np.ndarray], frozen_gain: bool = True) -> list:
     """Reference get_params_groups (utils/utils.py:636-647): group 0 =
     regularized, group 1 = biases/1-D params; torch ids enumerate group 0
-    then group 1."""
+    then group 1. With the reference default norm_last_layer=True the
+    weight-norm gain has requires_grad=False (vision_transformer.py:276-277)
+    and get_params_groups SKIPS it — `frozen_gain` mirrors that."""
     ordered = _registration_order(sd.keys())
+    if frozen_gain:
+        ordered = [k for k in ordered if k != _FROZEN_GAIN]
     reg = [k for k in ordered if not (k.endswith(".bias") or np.ndim(sd[k]) == 1)]
     not_reg = [k for k in ordered if k.endswith(".bias") or np.ndim(sd[k]) == 1]
     return [reg, not_reg]
@@ -188,21 +195,27 @@ _TORCH_ADAMW_GROUP_DEFAULTS = dict(
 )
 
 
-def adamw_state_to_torch(opt_state, lr: float = 0.0005, weight_decay: float = 0.04) -> dict:
+def adamw_state_to_torch(
+    opt_state, lr: float = 0.0005, weight_decay: float = 0.04,
+    norm_last_layer: bool = True,
+) -> dict:
     """optax AdamW moments → `torch.optim.AdamW.state_dict()` layout, so the
     reference's restart_from_checkpoint (utils/utils.py:152-184) restores a
     REAL optimizer from our checkpoint instead of silently resetting it.
 
     The exp_avg/exp_avg_sq trees mirror the param tree, so the same
     flax→torch name mapping applies; ids follow the reference's two
-    param_groups (regularized first — utils/utils.py:636-647)."""
+    param_groups (regularized first — utils/utils.py:636-647). With
+    `norm_last_layer` (the reference default) the frozen weight-norm gain is
+    excluded, matching get_params_groups' requires_grad filter — our optax
+    moments for it are zero anyway (stop_gradient)."""
     import torch
 
     adam = _find_adam_state(opt_state)
     mu_sd = wrapped_to_torch_state_dict(jax.tree.map(np.asarray, adam.mu))
     nu_sd = wrapped_to_torch_state_dict(jax.tree.map(np.asarray, adam.nu))
     step = float(np.asarray(adam.count))
-    groups = _grouped_param_names(mu_sd)
+    groups = _grouped_param_names(mu_sd, frozen_gain=norm_last_layer)
     state, param_groups, next_id = {}, [], 0
     for gi, names in enumerate(groups):
         ids = []
@@ -225,22 +238,45 @@ def adamw_state_to_torch(opt_state, lr: float = 0.0005, weight_decay: float = 0.
 def adamw_state_from_torch(opt_sd: dict, opt_state_template):
     """Inverse: a torch AdamW state_dict (reference checkpoint "optimizer"
     slot) → our optax opt_state with mu/nu/count restored. Resuming a
-    reference run keeps its Adam moments instead of restarting them."""
+    reference run keeps its Adam moments instead of restarting them.
+
+    Robust to two real reference behaviors: (1) the frozen weight-norm gain
+    is absent from the checkpoint's param_groups when norm_last_layer=True
+    (requires_grad filter in get_params_groups) — detected by the id count;
+    (2) torch creates per-param state LAZILY, so params whose grads were
+    cancelled for the whole run so far (cancel_gradients_last_layer during
+    freeze_last_layer epochs, utils/utils.py:144-149) have ids but no state
+    entry — those fall back to the template's (zero) moments, exactly
+    torch's own lazy-init semantics."""
     import jax.numpy as jnp
     import optax
 
     adam = _find_adam_state(opt_state_template)
-    mu_sd_template = wrapped_to_torch_state_dict(jax.tree.map(np.asarray, adam.mu))
-    groups = _grouped_param_names(mu_sd_template)
-    flat_names = [k for names in groups for k in names]
+    mu_t = jax.tree.map(np.asarray, adam.mu)
+    nu_t = jax.tree.map(np.asarray, adam.nu)
+    mu_sd_template = wrapped_to_torch_state_dict(mu_t)
+    nu_sd_template = wrapped_to_torch_state_dict(nu_t)
     ids = [i for g in opt_sd["param_groups"] for i in g["params"]]
-    if len(ids) != len(flat_names):
+    flat_names = None
+    for frozen_gain in (True, False):
+        groups = _grouped_param_names(mu_sd_template, frozen_gain=frozen_gain)
+        names = [k for g in groups for k in g]
+        if len(names) == len(ids):
+            flat_names = names
+            break
+    if flat_names is None:
         raise ValueError(
-            f"optimizer state has {len(ids)} params; expected {len(flat_names)}"
+            f"optimizer state has {len(ids)} params; expected "
+            f"{len([k for g in _grouped_param_names(mu_sd_template, False) for k in g])} "
+            f"(or one fewer with a frozen weight-norm gain)"
         )
-    mu_sd, nu_sd, step = {}, {}, 0.0
+    mu_sd = dict(mu_sd_template)  # excluded/lazy params keep template moments
+    nu_sd = dict(nu_sd_template)
+    step = float(np.asarray(adam.count))
     for name, pid in zip(flat_names, ids):
-        entry = opt_sd["state"][pid]
+        entry = opt_sd["state"].get(pid)
+        if entry is None:  # torch lazy init: no grad yet → no state entry
+            continue
         mu_sd[name] = np.asarray(entry["exp_avg"], dtype=np.float32)
         nu_sd[name] = np.asarray(entry["exp_avg_sq"], dtype=np.float32)
         step = float(np.asarray(entry["step"]))
@@ -262,9 +298,12 @@ def export_dino_pth(
     opt_state=None,
     lr: float = 0.0005,
     weight_decay: float = 0.04,
+    norm_last_layer: bool = True,
 ) -> None:
     """Write the LstmDistillation.py:634-646 checkpoint layout (with a real
-    torch-AdamW "optimizer" slot when `opt_state` is given)."""
+    torch-AdamW "optimizer" slot when `opt_state` is given;
+    `norm_last_layer` must match the run's flag so the frozen gain is
+    excluded from param ids like the reference's get_params_groups)."""
     import torch
 
     def to_t(sd):
@@ -274,7 +313,10 @@ def export_dino_pth(
         "student": to_t(wrapped_to_torch_state_dict(student_params, ddp_module_prefix=True)),
         "teacher": to_t(wrapped_to_torch_state_dict(teacher_params)),
         "optimizer": (
-            adamw_state_to_torch(opt_state, lr=lr, weight_decay=weight_decay)
+            adamw_state_to_torch(
+                opt_state, lr=lr, weight_decay=weight_decay,
+                norm_last_layer=norm_last_layer,
+            )
             if opt_state is not None
             else {}
         ),

@@ -137,13 +137,16 @@ def make_interaug(
     table_d = jnp.asarray(table)
     counts_d = jnp.asarray(counts)
     aug_labels = jnp.repeat(jnp.arange(n_classes, dtype=jnp.int32), n_per_class_out)
-    data_default = jnp.asarray(data)
+    # lazy: the training path always passes the corpus explicitly; a second
+    # eager device copy here would double the corpus HBM footprint
+    cache = {}
 
     def interaug(
         key: jax.Array, data_d: Optional[jax.Array] = None
     ) -> Tuple[jax.Array, jax.Array]:
         if data_d is None:  # convenience for host-level callers ONLY — inside
-            data_d = data_default  # a jit this would bake the corpus constant
+            # a jit this would bake the corpus constant
+            data_d = cache.setdefault("data", jnp.asarray(data))
         k_idx, k_shuf = jax.random.split(key)
         idx = jax.random.randint(
             k_idx, (n_classes, n_per_class_out, n_segments),

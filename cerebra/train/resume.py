@@ -43,6 +43,12 @@ class AutoResume:
         return max(steps) if steps else None
 
     def save(self, step: int, tree: Any) -> None:
+        # rank-0-only (save_on_master, utils/utils.py:447-449): under
+        # multi-process launches every rank shares the directory
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
         save_orbax(self._step_dir(step), tree)
         steps = sorted(
             int(n.split("_")[1]) for n in os.listdir(self.directory) if n.startswith("step_")

@@ -23,6 +23,26 @@ WORKER = textwrap.dedent(
 )
 
 
+def test_launch_kills_survivors_on_first_failure(tmp_path):
+    """torchrun contract: one rank dying must not leave the others hung in
+    the rendezvous — the launcher terminates them and propagates the code."""
+    import time
+
+    script = tmp_path / "w.py"
+    script.write_text(
+        "import os, sys, time\n"
+        "if os.environ['RANK'] == '1':\n"
+        "    sys.exit(3)\n"
+        "time.sleep(300)\n"
+    )
+    from cerebra.cli.launch import main
+
+    t0 = time.monotonic()
+    rc = main(["--nproc", "2", "--", sys.executable, str(script)])
+    assert rc == 3
+    assert time.monotonic() - t0 < 30  # did not wait out the sleeping rank
+
+
 @pytest.mark.slow
 def test_launch_spawns_distributed_world(tmp_path, capsys):
     script = tmp_path / "worker.py"

@@ -45,16 +45,35 @@ def _tiny_state():
     return params, tx, opt_state
 
 
+def assert_restored(r_tree, o_tree):
+    """Tree equality EXCEPT the frozen weight-norm gain g, which the
+    checkpoint excludes (requires_grad semantics) — restored to zeros. (In a
+    real run g's moments ARE zero via stop_gradient; _tiny_state feeds
+    synthetic nonzero grads to every param, so the distinction shows.)"""
+    assert "g" in r_tree["head"]["last_layer"] and "g" in o_tree["head"]["last_layer"]
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(r_tree),
+        jax.tree_util.tree_leaves_with_path(o_tree),
+    ):
+        if any(getattr(k, "key", None) == "g" for k in pa):
+            np.testing.assert_allclose(np.asarray(a), 0.0)
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_torch_adamw_loads_our_optimizer_slot(tmp_path):
     params, tx, opt_state = _tiny_state()
     opt_sd = adamw_state_to_torch(opt_state, lr=1e-3, weight_decay=0.04)
 
     # reconstruct the reference student: parameters in registration order,
-    # two param groups (regularized / biases+1-D)
+    # two param groups (regularized / biases+1-D), EXCLUDING the frozen
+    # weight-norm gain exactly like get_params_groups' requires_grad filter
+    # does under the default norm_last_layer=True
     sd = wrapped_to_torch_state_dict(jax.tree.map(np.asarray, params))
     from cerebra.train.checkpoints import _grouped_param_names
 
-    groups = _grouped_param_names(sd)
+    groups = _grouped_param_names(sd, frozen_gain=True)
+    assert "head.last_layer.weight_g" not in [k for g in groups for k in g]
     torch_params = {
         k: torch.nn.Parameter(torch.from_numpy(np.ascontiguousarray(sd[k])))
         for g in groups
@@ -80,23 +99,52 @@ def test_torch_adamw_loads_our_optimizer_slot(tmp_path):
     assert float(optimizer.state[torch_params[name]]["step"]) == 2.0
 
     # torch's own state_dict imports back losslessly (before stepping: torch
-    # mutates exp_avg in place and the export shares those buffers)
+    # mutates exp_avg in place and the export shares those buffers).
+    # The frozen gain g is excluded from the checkpoint (requires_grad
+    # semantics); in a real run its grads are stop_gradient-zero so its
+    # moments are zero — here the synthetic grads were nonzero, so compare
+    # everything EXCEPT g and assert g restored to (template) zeros.
     restored = adamw_state_from_torch(opt_sd, tx.init(params))
     r_adam = _find_adam_state(restored)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6),
-        r_adam.mu, adam.mu,
-    )
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6),
-        r_adam.nu, adam.nu,
-    )
+    assert_restored(r_adam.mu, adam.mu)
+    assert_restored(r_adam.nu, adam.nu)
     assert int(r_adam.count) == int(adam.count)
 
     # a torch step must run (proves param_groups carry every required field)
     for p in torch_params.values():
         p.grad = torch.zeros_like(p)
     optimizer.step()
+
+
+def test_import_tolerates_lazy_torch_state_and_unfrozen_gain(tmp_path):
+    """Two real reference checkpoint shapes: (1) params whose grads were
+    cancelled all run (freeze_last_layer) have ids but NO state entry —
+    torch inits state lazily; the import falls back to zero moments.
+    (2) norm_last_layer=False runs include weight_g — auto-detected from
+    the id count."""
+    params, tx, opt_state = _tiny_state()
+    from cerebra.train.checkpoints import _find_adam_state
+
+    # (1) drop the last id's state entry (simulates a frozen last layer)
+    opt_sd = adamw_state_to_torch(opt_state, lr=1e-3, weight_decay=0.04)
+    all_ids = [i for g in opt_sd["param_groups"] for i in g["params"]]
+    dropped = all_ids[-1]
+    del opt_sd["state"][dropped]
+    restored = adamw_state_from_torch(opt_sd, tx.init(params))
+    adam = _find_adam_state(restored)
+    # the dropped param's moments are zero (template), the rest restored
+    leaves = jax.tree.leaves(adam.mu)
+    assert any(float(np.abs(np.asarray(a)).max()) > 0 for a in leaves)
+
+    # (2) unfrozen gain: one extra id, still imports
+    opt_sd2 = adamw_state_to_torch(opt_state, lr=1e-3, weight_decay=0.04,
+                                   norm_last_layer=False)
+    n2 = len([i for g in opt_sd2["param_groups"] for i in g["params"]])
+    n1 = len(all_ids)
+    assert n2 == n1 + 1
+    restored2 = adamw_state_from_torch(opt_sd2, tx.init(params))
+    a2 = _find_adam_state(restored2)
+    assert int(a2.count) == 2
 
 
 def test_export_import_dino_pth_roundtrips_optimizer(tmp_path):
@@ -115,12 +163,7 @@ def test_export_import_dino_pth_roundtrips_optimizer(tmp_path):
 
     adam, r_adam = _find_adam_state(opt_state), _find_adam_state(restored)
     assert int(r_adam.count) == int(adam.count) == 2
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-6
-        ),
-        r_adam.mu, adam.mu,
-    )
+    assert_restored(r_adam.mu, adam.mu)
     # and the restored state must actually drive another optimizer step
     grads = jax.tree.map(lambda p: jnp.ones_like(p) * 0.1, params)
     updates, _ = tx.update(grads, restored, params)
