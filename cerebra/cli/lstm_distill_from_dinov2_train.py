@@ -31,6 +31,12 @@ from cerebra.train.recipes import FeatureDistillConfig, feature_distill_train
 
 def main(argv=None):
     parser = reference_argparser("LSTM→DINOv2 feature distillation (TPU)")
+    parser.add_argument(
+        "--profile_dir", type=str, default="",
+        help="write a jax.profiler trace of the training loop here "
+        "(TensorBoard/xprof timeline; replaces the reference's wall-clock "
+        "MetricLogger timing, utils/utils.py:348-400)",
+    )
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     init_distributed()
@@ -63,11 +69,15 @@ def main(argv=None):
         seed=FLAGS.seed,
         dtype=jnp.bfloat16 if FLAGS.use_bf16 else None,
     )
-    state, hist = feature_distill_train(
-        corpus.eeg[train_idx], feats[train_idx], corpus.labels[train_idx],
-        corpus.eeg[val_idx], feats[val_idx], corpus.labels[val_idx],
-        config=cfg, mesh=make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size), n_classes=corpus.catalog.n_classes,
-    )
+    from cerebra.train.resume import profile_trace
+
+    with profile_trace(FLAGS.profile_dir, enabled=bool(FLAGS.profile_dir)):
+        state, hist = feature_distill_train(
+            corpus.eeg[train_idx], feats[train_idx], corpus.labels[train_idx],
+            corpus.eeg[val_idx], feats[val_idx], corpus.labels[val_idx],
+            config=cfg, mesh=make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size),
+            n_classes=corpus.catalog.n_classes,
+        )
 
     from cerebra.cli.common import is_main_process
 

@@ -62,6 +62,73 @@ WORKER = textwrap.dedent(
 )
 
 
+WORKER_2D = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.environ["CEREBRA_REPO"])
+    from cerebra.cli.common import init_distributed
+
+    init_distributed()
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from cerebra.train.recipes import DinoSelfDistillConfig, dino_selfdistill_train
+
+    rng = np.random.default_rng(0)
+    eeg = rng.normal(size=(16, 32, 4)).astype(np.float32)
+    cfg = DinoSelfDistillConfig(
+        epochs=1, batch_size_per_device=2, out_dim=16, embed_dim=8,
+        lstm_layers=1, global_length=16, local_length=8, warmup_epochs=0,
+    )
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    state, hist = dino_selfdistill_train(eeg, config=cfg, mesh=mesh,
+                                         log_fn=lambda s: None)
+    v = state.student_params["head"]["last_layer"]["v"]
+    assert v.sharding.spec == P(None, "model"), v.sharding
+    assert np.isfinite(hist["loss"]).all()
+    print("LOSS2D " + json.dumps(hist["loss"]))
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_2d_mesh_with_tp(tmp_path):
+    """2 processes × 4 devices on a 4×2 data×model mesh: the general
+    (make_array_from_callback) sharded-corpus path plus TP prototype
+    sharding work across PROCESS boundaries; both ranks see one global
+    loss stream."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker2d.py"
+    script.write_text(WORKER_2D)
+    env_base = {
+        **os.environ,
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "WORLD_SIZE": "2",
+        "CEREBRA_REPO": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env_base, "RANK": str(rank)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    losses = {}
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        line = [l for l in out.splitlines() if l.startswith("LOSS2D ")]
+        assert line, out
+        losses[rank] = json.loads(line[0][len("LOSS2D "):])
+    assert losses[0] == losses[1]
+
+
 @pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     with socket.socket() as s:
