@@ -29,6 +29,27 @@ Subpackages:
 __version__ = "0.1.0"
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU AOT executables bake in the compiling machine's ISA extensions;
+    loading them on a host with different features can SIGILL (the loader
+    only warns).  Keying the default cache dir on the flags keeps a cache
+    written on one machine from being replayed on another."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 def _enable_persistent_compile_cache() -> None:
     """Default-on persistent XLA compilation cache.
 
@@ -47,7 +68,7 @@ def _enable_persistent_compile_cache() -> None:
         if jax.config.jax_compilation_cache_dir is None:
             cache_dir = os.environ.get(
                 "JAX_COMPILATION_CACHE_DIR",
-                os.path.expanduser("~/.cache/cerebra/jax_cache"),
+                os.path.expanduser("~/.cache/cerebra/jax_cache-" + _host_fingerprint()),
             )
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)

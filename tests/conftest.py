@@ -5,6 +5,10 @@ test distributed code via XLA's host-platform device emulation)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: tests never run on TPU
+# hermetic + fast: the persistent compile cache (cerebra/__init__) targets
+# the tunneled TPU's 3-min/signature round trip; on CPU test compiles the
+# serialize+write per jit only costs time (measured ~+40 s on the suite)
+os.environ.setdefault("CEREBRA_NO_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -14,6 +14,8 @@ def workdir(tmp_path_factory):
     return tmp_path_factory.mktemp("cli_dp")
 
 
+@pytest.mark.slow  # CLI-subprocess DP equivalence (2 full CLI runs);
+# library-level DP equivalence stays fast in tests/test_parallel.py
 def test_feature_distill_cli_dp_equivalence(workdir):
     """lstm_distill_from_dinov2_train with --devices 8 ≡ --devices 1.
 

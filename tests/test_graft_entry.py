@@ -26,6 +26,8 @@ def test_entry_compiles_single_device():
     assert cls.shape[0] == 16
 
 
+@pytest.mark.slow  # the driver re-runs dryrun_multichip(8) every round;
+# fast-suite meshed coverage lives in tests/test_parallel.py
 def test_dryrun_multichip_in_process():
     # conftest forces 8 virtual CPU devices, so this takes the direct path.
     assert jax.device_count() >= 8

@@ -9,6 +9,7 @@ optimizer's own state_dict must then import back into optax unchanged.
 """
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -61,6 +62,8 @@ def assert_restored(r_tree, o_tree):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow  # export direction; the import direction (reference .pth
+# -> resumed training) stays in the fast suite below
 def test_torch_adamw_loads_our_optimizer_slot(tmp_path):
     params, tx, opt_state = _tiny_state()
     opt_sd = adamw_state_to_torch(opt_state, lr=1e-3, weight_decay=0.04)
