@@ -39,24 +39,81 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Optional[Any] = None
+    # Fused Pallas flash attention (TPU only): never materializes the
+    # (B, H, N, N) probability matrix in HBM.  Engaged only when the caller
+    # does not need the attention map, attn_drop == 0, and N >= flash_min_seq
+    # (short local-crop sequences pay more in 128-padding than they save).
+    use_flash: bool = False
+    flash_min_seq: int = 512
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = True
-    ) -> Tuple[jax.Array, jax.Array]:
-        """Returns (out, attn) like the reference Attention (:68-92)."""
+        self, x: jax.Array, train: bool = True, need_weights: bool = True
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Returns (out, attn) like the reference Attention (:68-92).
+
+        ``attn`` is None on the fused flash path (``need_weights=False``)."""
         B, N, D = x.shape
         H = self.num_heads
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, D // H)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B, H, N, d)
         scale = (D // H) ** -0.5
-        attn = jax.nn.softmax((q * scale) @ jnp.swapaxes(k, -2, -1), axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
+        if (
+            self.use_flash
+            and not need_weights
+            and self.attn_drop == 0.0
+            and N >= self.flash_min_seq
+        ):
+            out = _flash_mha(q, k, v, scale).transpose(0, 2, 1, 3).reshape(B, N, D)
+            attn = None
+        else:
+            attn = jax.nn.softmax((q * scale) @ jnp.swapaxes(k, -2, -1), axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
         out = nn.Dense(D, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out, attn
+
+
+def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Pallas TPU flash attention over (B, H, N, d) q/k/v.
+
+    Pads N up to a multiple of the kernel's 128-token blocks; padded tokens
+    carry a different segment id than real ones, so they are masked out of
+    every real query's softmax (and padded-query outputs are sliced away —
+    their k/v gradients die in the pad's transpose-slice)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, H, N, _ = q.shape
+    n_pad = -N % 128
+    if n_pad:
+        pad = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+        seg = jnp.broadcast_to(
+            (jnp.arange(N + n_pad) < N).astype(jnp.int32)[None, :], (B, N + n_pad)
+        )
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+    # Large sequence blocks: the kernel's 128-token defaults leave each grid
+    # cell with a (128,64)@(64,128) matmul — far too little work per cell at
+    # ViT scale. Use the largest block that divides the padded length.
+    np_ = N + n_pad
+    blk = max(b for b in (896, 512, 448, 256, 128) if np_ % b == 0 and b <= np_)
+    bs = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    out = flash_attention(
+        q, k, v, segment_ids=segment_ids, sm_scale=scale, block_sizes=bs
+    )
+    return out[:, :, :N, :]
 
 
 class Block(nn.Module):
@@ -69,13 +126,19 @@ class Block(nn.Module):
     layer_scale: bool = False
     layer_scale_init: float = 1e-5
     dtype: Optional[Any] = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = True, return_attention: bool = False
     ):
-        y, attn = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x), train=train
+        y, attn = Attention(
+            self.dim, self.num_heads, dtype=self.dtype, use_flash=self.use_flash,
+            name="attn",
+        )(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
+            train=train,
+            need_weights=return_attention,
         )
         if return_attention:
             return attn
@@ -113,6 +176,7 @@ class VisionTransformer(nn.Module):
     drop_path_rate: float = 0.0
     layer_scale: bool = False  # True = DINOv2-style blocks
     dtype: Optional[Any] = None
+    use_flash: bool = False  # Pallas flash attention on TPU (globals only)
 
     @nn.compact
     def __call__(
@@ -146,7 +210,8 @@ class VisionTransformer(nn.Module):
         for i in range(self.depth):
             block = Block(
                 self.embed_dim, self.num_heads, self.mlp_ratio, float(dpr[i]),
-                layer_scale=self.layer_scale, dtype=self.dtype, name=f"block_{i}",
+                layer_scale=self.layer_scale, dtype=self.dtype,
+                use_flash=self.use_flash, name=f"block_{i}",
             )
             if return_attention_of_last_block and i == self.depth - 1:
                 return block(tokens, train=train, return_attention=True)

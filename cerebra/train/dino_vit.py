@@ -60,11 +60,17 @@ class DinoVitConfig:
     use_bn_in_head: bool = False
     seed: int = 0
     dtype: Any = None
+    # Pallas flash attention for the global-crop sequences (TPU only; local
+    # crops below Attention.flash_min_seq keep the naive path).
+    use_flash: bool = False
 
 
 def build_vit(cfg: DinoVitConfig) -> VisionTransformer:
     ctor = {"vit_tiny": vit_tiny, "vit_small": vit_small, "vit_base": vit_base}[cfg.arch]
-    return ctor(patch_size=cfg.patch_size, img_size=cfg.global_size, dtype=cfg.dtype)
+    return ctor(
+        patch_size=cfg.patch_size, img_size=cfg.global_size, dtype=cfg.dtype,
+        use_flash=cfg.use_flash,
+    )
 
 
 def make_eeg_image_view_fn(
