@@ -873,6 +873,112 @@ def exp_rcstack(B=1024, H=96):
 EXPS["rcstack"] = exp_rcstack
 
 
+
+def exp_dinoparts(batch=8):
+    """main_dino step decomposition at reference scale (vit_small/p8, 224
+    globals + 4x96 locals, out_dim 65536, bf16, B=batch): where the measured
+    ~94 ms/step (84.8 windows/s) actually goes. Each part returns a scalar
+    reduction over ALL its outputs so the differenced timing's host sync
+    proves completion (tunnel rule: sync must depend on every output)."""
+    from cerebra.losses.dino import dino_multicrop_loss
+    from cerebra.models.heads import DINOHead
+    from cerebra.models.multicrop import multicrop_forward
+    from cerebra.train.dino_vit import DinoVitConfig, build_vit, make_eeg_image_view_fn
+
+    cfg = DinoVitConfig(dtype=jnp.bfloat16)
+    backbone = build_vit(cfg)
+    head = DINOHead(
+        in_dim=384, out_dim=cfg.out_dim, use_bn=cfg.use_bn_in_head,
+        norm_last_layer=cfg.norm_last_layer, dtype=cfg.dtype,
+    )
+    key = jax.random.key(0)
+    rng = np.random.default_rng(0)
+    eeg = jnp.asarray(rng.normal(size=(batch, 460, 128)), jnp.float32)
+    imgs = jnp.asarray(rng.random(size=(batch, 224, 224, 3)), jnp.float32)
+    dummy = jnp.zeros((1, 224, 224, 3))
+    bp = backbone.init(jax.random.key(1), dummy)["params"]
+    hp = head.init(jax.random.key(2), jnp.zeros((1, 384)))["params"]
+    view_fn = make_eeg_image_view_fn(2, 4, 224, 96, True)
+    center = jnp.zeros((1, cfg.out_dim), jnp.float32)
+
+    def scalar(tree):
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(tree))
+
+    def views(key, eeg, imgs):
+        g, l = view_fn(key, (eeg, imgs))
+        return scalar(g) + scalar(l)
+
+    def groups_of(key):
+        return view_fn(key, (eeg, imgs))
+
+    g0, l0 = groups_of(key)
+    g0, l0 = jax.device_put(g0), jax.device_put(l0)
+
+    def fwd(bp, hp, g, l):
+        out = multicrop_forward(
+            lambda x: backbone.apply({"params": bp}, x),
+            lambda f: head.apply({"params": hp}, f),
+            [g, l],
+        )
+        return out.reshape(6, batch, -1)
+
+    def teacher_fwd(bp, hp, g):
+        out = multicrop_forward(
+            lambda x: backbone.apply({"params": bp}, x),
+            lambda f: head.apply({"params": hp}, f),
+            [g],
+        )
+        return scalar(out)
+
+    t_out = jax.lax.stop_gradient(
+        fwd(bp, hp, g0, l0)[:2]
+    )
+
+    def loss_only(bp, hp, g, l):
+        s_out = fwd(bp, hp, g, l)
+        loss, new_center = dino_multicrop_loss(
+            s_out, t_out, center, teacher_temp=0.04, student_temp=0.1,
+            center_momentum=0.9,
+        )
+        return loss + scalar(new_center)
+
+    grad_full = jax.grad(loss_only, argnums=(0, 1))
+
+    def bb_global_grad(bp):
+        f = lambda p: jnp.sum(
+            backbone.apply({"params": p}, g0.reshape((2 * batch,) + g0.shape[2:])).astype(jnp.float32) ** 2
+        )
+        return scalar(jax.grad(f)(bp))
+
+    def bb_local_grad(bp):
+        f = lambda p: jnp.sum(
+            backbone.apply({"params": p}, l0.reshape((4 * batch,) + l0.shape[2:])).astype(jnp.float32) ** 2
+        )
+        return scalar(jax.grad(f)(bp))
+
+    feats = jnp.asarray(rng.normal(size=(6 * batch, 384)), jnp.bfloat16)
+
+    def head_grad(hp):
+        f = lambda p: jnp.sum(head.apply({"params": p}, feats).astype(jnp.float32) ** 2)
+        return scalar(jax.grad(f)(hp))
+
+    for tag, fn, args in (
+        ("views (2 glob tile + 4 loc crop)", views, (key, eeg, imgs)),
+        ("teacher fwd (2x224 + head)", teacher_fwd, (bp, hp, g0)),
+        ("student fwd + loss (6 views)", loss_only, (bp, hp, g0, l0)),
+        ("student fwd+bwd (full grad)", lambda *a: scalar(grad_full(*a)), (bp, hp, g0, l0)),
+        ("backbone-only grad, 2x224", bb_global_grad, (bp,)),
+        ("backbone-only grad, 4x96", bb_local_grad, (bp,)),
+        ("head-only grad (48,384->65536)", head_grad, (hp,)),
+    ):
+        jfn = jax.jit(fn)
+        dt = timeit(jfn, *args)
+        print(f"[dinoparts] {tag}: {dt*1e3:.2f} ms", flush=True)
+
+
+EXPS["dinoparts"] = exp_dinoparts
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)
