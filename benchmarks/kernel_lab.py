@@ -979,6 +979,69 @@ def exp_dinoparts(batch=8):
 EXPS["dinoparts"] = exp_dinoparts
 
 
+
+def exp_dinotail(batch=8):
+    """The ~13 ms/step the dinoparts decomposition leaves unaccounted:
+    per-param clip + AdamW + apply_updates + teacher EMA over the ViT-S
+    student/teacher trees (~21 M params each, f32). Bandwidth floor is
+    ~1.5 ms (clip 2 reads, adam 4R/3W, EMA 2R/1W at 819 GB/s) — anything
+    beyond that is per-leaf op overhead."""
+    import optax
+
+    from cerebra.models.heads import DINOHead
+    from cerebra.train.dino_vit import DinoVitConfig, build_vit
+    from cerebra.train.ema import ema_update
+    from cerebra.train.steps import make_scheduled_optimizer
+
+    cfg = DinoVitConfig(dtype=jnp.bfloat16)
+    backbone = build_vit(cfg)
+    head = DINOHead(
+        in_dim=384, out_dim=cfg.out_dim, use_bn=cfg.use_bn_in_head,
+        norm_last_layer=cfg.norm_last_layer, dtype=cfg.dtype,
+    )
+    dummy = jnp.zeros((1, 224, 224, 3))
+    bp = backbone.init(jax.random.key(1), dummy)["params"]
+    hp = head.init(jax.random.key(2), jnp.zeros((1, 384)))["params"]
+    params = {"backbone": bp, "head": hp}
+    teacher = jax.tree.map(jnp.copy, params)
+    tx = make_scheduled_optimizer(
+        "adamw", np.full(100, 1e-4, np.float32), np.full(100, 0.04, np.float32),
+        params_mask_source=params, clip_grad=cfg.clip_grad,
+    )
+    opt_state = tx.init(params)
+    grads = jax.tree.map(lambda p: p * 1e-3 + 1e-6, params)
+    n_leaves = len(jax.tree.leaves(params))
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    print(f"[dinotail] tree: {n_leaves} leaves, {n_params/1e6:.1f} M params", flush=True)
+
+    def scalar(tree):
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(tree))
+
+    def tail(params, teacher, opt_state, grads):
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_p = optax.apply_updates(params, updates)
+        new_t = ema_update(teacher, new_p, 0.996)
+        return scalar(new_p) + scalar(new_t) + scalar(new_opt)
+
+    dt = timeit(jax.jit(tail), params, teacher, opt_state, grads)
+    print(f"[dinotail] clip+adamw+apply+ema: {dt*1e3:.2f} ms", flush=True)
+
+    def ema_only(teacher, params):
+        return scalar(ema_update(teacher, params, 0.996))
+
+    dt = timeit(jax.jit(ema_only), teacher, params)
+    print(f"[dinotail] ema only: {dt*1e3:.2f} ms", flush=True)
+
+    def sync_cost(params):
+        return scalar(params)
+
+    dt = timeit(jax.jit(sync_cost), params)
+    print(f"[dinotail] scalar-sum sync overhead: {dt*1e3:.2f} ms", flush=True)
+
+
+EXPS["dinotail"] = exp_dinotail
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)

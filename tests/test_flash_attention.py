@@ -41,6 +41,32 @@ def test_flash_mha_matches_naive(n):
     assert out.shape == (b, h, n, d)
 
 
+@pytest.mark.slow  # ~30 s of interpret-mode grid emulation
+def test_flash_mha_grads_match_naive():
+    """Custom-VJP backward (dq/dkv kernels) vs autodiff through the naive
+    formula, including the segment-masked padding path (280→384)."""
+    rng = np.random.default_rng(4)
+    b, h, n, d = 1, 1, 280, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32) for _ in range(3)
+    )
+    scale = d**-0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_flash_mha(q, k, v, scale) ** 2)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(_naive(q, k, v, scale) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gn):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4
+        )
+
+
 def test_short_sequences_fall_back_to_naive():
     """Local crops (N < flash_min_seq) must keep the naive path — on CPU the
     fused kernel cannot run at all, so reaching it would raise."""
