@@ -43,6 +43,10 @@ def main(argv=None):
     parser.add_argument("--local_size", type=int, default=96)
     parser.add_argument("--norm_last_layer", type=bool_flag, default=True)
     parser.add_argument("--use_bn_in_head", type=bool_flag, default=False)
+    # beyond the reference: fused Pallas attention for the global views
+    # (measured neutral at reference scale, BENCH_AUX round 3 — may pay
+    # at vit_base / larger global_size)
+    parser.add_argument("--use_flash", type=bool_flag, default=False)
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     init_distributed()
@@ -62,6 +66,7 @@ def main(argv=None):
         global_size=FLAGS.global_size, local_size=FLAGS.local_size,
         norm_last_layer=FLAGS.norm_last_layer, use_bn_in_head=FLAGS.use_bn_in_head,
         seed=FLAGS.seed, dtype=jnp.bfloat16 if FLAGS.use_bf16 else None,
+        use_flash=FLAGS.use_flash,
     )
     # stimulus images: not bundled — locals fall back to EEG-image crops
     state, hist = dino_vit_train(
