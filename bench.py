@@ -51,6 +51,7 @@ def measure_jax() -> float:
     model = Model(
         input_size=C, lstm_size=C, lstm_layers=2, output_size=F, include_top=True,
         n_classes=N_CLASSES, dtype=jnp.bfloat16,
+        input_grad=False,  # the filtered EEG is data: dx is dead work
     )
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.normal(size=(B, C, T_RAW)).astype(np.float32))

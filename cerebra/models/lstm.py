@@ -63,6 +63,10 @@ class LSTMStack(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     use_pallas: Optional[bool] = None
+    # False = the backward returns a ZERO input cotangent and skips its dx
+    # stream/matmul (training recipes: the LSTM is the first trainable
+    # layer). Leave True for any caller that differentiates w.r.t. the EEG.
+    input_grad: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -104,7 +108,7 @@ class LSTMStack(nn.Module):
                 )
                 for (w_ih, w_hh, b_ih, b_hh) in params
             )
-            h_seq_t = lstm_stack(h_seq_t, layers)
+            h_seq_t = lstm_stack(h_seq_t, layers, input_grad=self.input_grad)
         else:
             for w_ih, w_hh, b_ih, b_hh in params:
                 # one MXU matmul for all timesteps' input gates: (T, B, 4H)
@@ -146,13 +150,15 @@ class Model(nn.Module):
     n_classes: int = 40  # the EEG-ImageNet subset (SURVEY.md §0)
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    input_grad: bool = True  # see LSTMStack.input_grad
 
     @nn.compact
     def __call__(
         self, x: jax.Array, features_only: bool = False
     ) -> jax.Array | Tuple[jax.Array, jax.Array]:
         h_all = LSTMStack(
-            self.lstm_size, self.lstm_layers, dtype=self.dtype, param_dtype=self.param_dtype, name="lstm"
+            self.lstm_size, self.lstm_layers, dtype=self.dtype,
+            param_dtype=self.param_dtype, input_grad=self.input_grad, name="lstm"
         )(x)
         h_last = h_all[:, -1, :]
         if features_only:

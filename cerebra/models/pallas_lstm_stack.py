@@ -236,16 +236,20 @@ def _contract_rows(a, b):
     )
 
 
-def _bwd_kernel(n_layers, H, C, *refs):
+def _bwd_kernel(n_layers, H, C, need_dx, *refs):
     # refs: g_top, x_t, (h_prev, prefac, qf, w_hh_t, w_ih_t) × L,
     #       h_cur × (L-1) [inputs to layers 1..L-1 at time t],
-    # outs: dx, (dwih, dwhh, db) × L | scratch: dh_s, dc_s
+    # outs: [dx if need_dx], (dwih, dwhh, db) × L | scratch: dh_s, dc_s
+    # need_dx=False (input_grad=False callers: every training recipe — the
+    # LSTM is the first trainable layer, so the EEG cotangent is dead) drops
+    # the (T, B, C) dx stream AND layer 0's dgates @ w_ih_t matmul.
     g_ref = refs[0]
     x_ref = refs[1]
     per_l = refs[2 : 2 + 5 * n_layers]
     h_cur = refs[2 + 5 * n_layers : 1 + 6 * n_layers]
-    dx_ref = refs[1 + 6 * n_layers]
-    dw_refs = refs[2 + 6 * n_layers : 2 + 9 * n_layers]
+    n_out0 = 1 + 6 * n_layers
+    dx_ref = refs[n_out0] if need_dx else None
+    dw_refs = refs[n_out0 + int(need_dx) : n_out0 + int(need_dx) + 3 * n_layers]
     dh_s, dc_s = refs[-2], refs[-1]
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -294,12 +298,14 @@ def _bwd_kernel(n_layers, H, C, *refs):
         dwih_ref[...] += _contract_rows(inp.astype(dgates.dtype), dgates)
         dwhh_ref[...] += _contract_rows(h_prev.astype(dgates.dtype), dgates)
         db_ref[...] += jnp.sum(dgates.astype(jnp.float32), axis=0, keepdims=True)
-        # chain to the layer below (dx for layer 0)
-        g_up = jnp.dot(
-            dgates.astype(w_ih_t_ref.dtype), w_ih_t_ref[:],
-            preferred_element_type=jnp.float32,
-        )
-    dx_ref[0] = g_up.astype(dx_ref.dtype)
+        # chain to the layer below (dx for layer 0 — skipped when unwanted)
+        if l > 0 or need_dx:
+            g_up = jnp.dot(
+                dgates.astype(w_ih_t_ref.dtype), w_ih_t_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+    if need_dx:
+        dx_ref[0] = g_up.astype(dx_ref.dtype)
 
 
 def _bwd_rc_kernel(n_layers, H, C, *refs):
@@ -640,7 +646,7 @@ def _vjp_fwd(x, layers):
     return h_top, (x, layers, outs)
 
 
-def _vjp_bwd(residuals, g):
+def _vjp_bwd(residuals, g, need_dx: bool = True):
     x, layers, outs = residuals
     T, B, C = x.shape
     L = len(layers)
@@ -673,8 +679,8 @@ def _vjp_bwd(residuals, g):
         # h_all[l] at time t: layer l+1's input row for dW_ih[l+1]
         in_specs.append(_rev_row_spec(H, Bt, T))
         args.append(outs[3 * l])
-    out_specs = [_rev_row_spec(C, Bt, T)]
-    out_shapes = [jax.ShapeDtypeStruct((T, B, C), x.dtype)]
+    out_specs = [_rev_row_spec(C, Bt, T)] if need_dx else []
+    out_shapes = [jax.ShapeDtypeStruct((T, B, C), x.dtype)] if need_dx else []
     for l in range(L):
         in_dim = C if l == 0 else H
         out_specs += [
@@ -688,7 +694,7 @@ def _vjp_bwd(residuals, g):
             jax.ShapeDtypeStruct((1, four_h), jnp.float32),
         ]
     res = pl.pallas_call(
-        functools.partial(_bwd_kernel, L, H, C),
+        functools.partial(_bwd_kernel, L, H, C, need_dx),
         grid=(nb, T),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -699,10 +705,11 @@ def _vjp_bwd(residuals, g):
         ],
         interpret=_interpret(),
     )(*args)
-    dx = res[0]
+    n_dx = int(need_dx)
+    dx = res[0] if need_dx else jnp.zeros_like(x)
     dlayers = []
     for l in range(L):
-        dwih, dwhh, db = res[1 + 3 * l : 4 + 3 * l]
+        dwih, dwhh, db = res[n_dx + 3 * l : n_dx + 3 + 3 * l]
         w_ih, w_hh, bias = layers[l]
         dlayers.append(
             (dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype), db[0].astype(bias.dtype))
@@ -713,6 +720,26 @@ def _vjp_bwd(residuals, g):
 lstm_stack_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+@jax.custom_vjp
+def lstm_stack_pallas_ndx(x: jax.Array, layers):
+    """`lstm_stack_pallas` whose backward SKIPS the input cotangent.
+
+    For callers where the LSTM is the first trainable layer (every training
+    recipe here: the EEG upstream is data plus a fixed filter), the (T, B, C)
+    dx stream and layer 0's dgates @ w_ih_t matmul are dead work XLA cannot
+    eliminate from an opaque pallas_call. The returned x-cotangent is ZEROS —
+    never differentiate through this variant w.r.t. the input."""
+    layers = tuple(tuple(l) for l in layers)
+    return _fwd_infer_impl(x, layers)
+
+
+def _vjp_bwd_no_dx(residuals, g):
+    return _vjp_bwd(residuals, g, need_dx=False)
+
+
+lstm_stack_pallas_ndx.defvjp(_vjp_fwd, _vjp_bwd_no_dx)
+
+
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -721,6 +748,7 @@ def lstm_stack(
     x: jax.Array,
     layers: Sequence[Tuple[jax.Array, jax.Array, jax.Array]],
     pad_lanes: int | None = None,
+    input_grad: bool = True,
 ) -> jax.Array:
     """lstm_stack_pallas with hidden-size LANE PADDING.
 
@@ -736,6 +764,10 @@ def lstm_stack(
     custom VJP runs entirely in padded space.
 
     pad_lanes: None = auto (128 on TPU, off elsewhere); 1 disables.
+    input_grad: False drops the dx stream + layer-0 dx matmul from the
+      backward (the x-cotangent comes back as ZEROS) — use only when the
+      input is non-differentiable data, i.e. the LSTM is the first
+      trainable layer, as in every training recipe here.
     """
     layers = tuple(tuple(l) for l in layers)
     H = layers[0][1].shape[0]
@@ -766,7 +798,7 @@ def lstm_stack(
     if Bp != B:
         x = jnp.pad(x, ((0, 0), (0, Bp - B), (0, 0)))
 
-    h = lstm_stack_pallas(x, layers)
+    h = (lstm_stack_pallas if input_grad else lstm_stack_pallas_ndx)(x, layers)
     if Bp != B:
         h = h[:, :B]
     return h[:, :, :H] if Hp != H else h

@@ -98,6 +98,7 @@ def feature_distill_train(
         lstm_layers=cfg.lstm_layers,
         output_size=feat_dim,
         include_top=True,
+        input_grad=False,  # EEG is data: skip the kernel's dx stream
         n_classes=n_classes,
         dtype=cfg.dtype,
     )
@@ -329,6 +330,7 @@ def build_dino_models(n_channels: int, cfg: DinoSelfDistillConfig):
     backbone = Model(
         input_size=n_channels, lstm_size=cfg.embed_dim, lstm_layers=cfg.lstm_layers,
         output_size=cfg.embed_dim, include_top=False, dtype=cfg.dtype,
+        input_grad=False,  # temporal crops of data EEG: dx is dead
     )
     head = DINOHead(
         in_dim=cfg.embed_dim, out_dim=cfg.out_dim, use_bn=cfg.use_bn_in_head,

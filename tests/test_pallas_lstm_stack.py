@@ -225,3 +225,54 @@ def test_random_shape_sweep_matches_scan():
                     np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=2e-4,
                     err_msg=f"grad trial {trial}: T={T} B={B} C={C} H={H} L={L}",
                 )
+
+
+@pytest.mark.parametrize("L", [1, 2])
+def test_input_grad_false_matches_weight_grads(L):
+    """The dx-skipping backward (input_grad=False — every training recipe:
+    the EEG input is data, so its cotangent is dead) must produce weight/bias
+    gradients identical to the full backward, return a ZERO x-cotangent, and
+    an unchanged forward."""
+    from cerebra.models.pallas_lstm_stack import lstm_stack_pallas_ndx
+
+    x, layers = make_case(T=5, B=8, C=5, H=4, L=L, seed=7)
+
+    def loss_full(x, layers):
+        return jnp.sum(lstm_stack_pallas(x, layers) ** 2)
+
+    def loss_ndx(x, layers):
+        return jnp.sum(lstm_stack_pallas_ndx(x, layers) ** 2)
+
+    np.testing.assert_array_equal(
+        np.asarray(lstm_stack_pallas_ndx(x, layers)),
+        np.asarray(lstm_stack_pallas(x, layers)),
+    )
+    (dx_f, dl_f) = jax.grad(loss_full, argnums=(0, 1))(x, layers)
+    (dx_n, dl_n) = jax.grad(loss_ndx, argnums=(0, 1))(x, layers)
+    np.testing.assert_array_equal(np.asarray(dx_n), 0.0)
+    assert float(jnp.abs(dx_f).max()) > 0  # the full variant's dx is real
+    for (a_ih, a_hh, a_b), (b_ih, b_hh, b_b) in zip(dl_f, dl_n):
+        np.testing.assert_array_equal(np.asarray(a_ih), np.asarray(b_ih))
+        np.testing.assert_array_equal(np.asarray(a_hh), np.asarray(b_hh))
+        np.testing.assert_array_equal(np.asarray(a_b), np.asarray(b_b))
+
+
+def test_stack_module_input_grad_wiring():
+    """LSTMStack(input_grad=False) on the PALLAS path (forced, interpret
+    mode) trains identically to input_grad=True — proves the flag reaches
+    the kernel and changes nothing but the dead dx."""
+    from cerebra.models.lstm import LSTMStack
+
+    rng = np.random.default_rng(3)
+    eeg = jnp.asarray(rng.normal(size=(4, 12, 6)).astype(np.float32))
+    m_full = LSTMStack(hidden_size=8, num_layers=2, use_pallas=True)
+    m_ndx = LSTMStack(hidden_size=8, num_layers=2, use_pallas=True, input_grad=False)
+    params = m_full.init(jax.random.key(0), eeg)["params"]
+
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, eeg) ** 2)
+
+    g_full = jax.grad(lambda p: loss(m_full, p))(params)
+    g_ndx = jax.grad(lambda p: loss(m_ndx, p))(params)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_ndx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
