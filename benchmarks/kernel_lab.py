@@ -823,6 +823,12 @@ def exp_bwdstack():
 
     run("shipped")
 
+    # dead-dx variant (input_grad=False — what the recipes now use)
+    grad_ndx = jax.jit(jax.grad(
+        lambda xx, ll: (S.lstm_stack_pallas_ndx(xx, ll)[-1] ** 2).sum(), argnums=(1,)))
+    dt = timeit(grad_ndx, x, layers)
+    print(f"[bwdstack] ndx (no dx stream): {dt*1e3:.3f} ms ({dt/Tt*1e6:.2f} us/step)", flush=True)
+
     # (c) force a single 1024-row batch tile
     orig_pick = S._pick_tile
     try:
