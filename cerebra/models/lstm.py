@@ -67,6 +67,11 @@ class LSTMStack(nn.Module):
     # stream/matmul (training recipes: the LSTM is the first trainable
     # layer). Leave True for any caller that differentiates w.r.t. the EEG.
     input_grad: bool = True
+    # True = return only h[-1] (B, H) instead of the full (B, T, H)
+    # sequence. On the Pallas path this skips the (T, B, H) top-layer HBM
+    # stream in inference and streams a (B, H) cotangent (not a mostly-zero
+    # (T, B, H) one) in the backward — every model head here reads h[-1].
+    last_state_only: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -98,7 +103,7 @@ class LSTMStack(nn.Module):
             # the fused whole-stack kernel: all layers × all timesteps in one
             # pallas_call pair, raw x streamed once, dW/db accumulated
             # in-kernel, H lane-padded to the 128-wide vregs
-            from cerebra.models.pallas_lstm_stack import lstm_stack
+            from cerebra.models.pallas_lstm_stack import lstm_stack, lstm_stack_last
 
             layers = tuple(
                 (
@@ -108,6 +113,8 @@ class LSTMStack(nn.Module):
                 )
                 for (w_ih, w_hh, b_ih, b_hh) in params
             )
+            if self.last_state_only:
+                return lstm_stack_last(h_seq_t, layers, input_grad=self.input_grad)
             h_seq_t = lstm_stack(h_seq_t, layers, input_grad=self.input_grad)
         else:
             for w_ih, w_hh, b_ih, b_hh in params:
@@ -129,6 +136,8 @@ class LSTMStack(nn.Module):
                     return (h_new, c_new), h_new
 
                 (_, _), h_seq_t = jax.lax.scan(step, (h0, c0), x_proj_t)
+        if self.last_state_only:
+            return h_seq_t[-1]  # (B, H)
         return jnp.swapaxes(h_seq_t, 0, 1)  # (B, T, H)
 
 
@@ -156,11 +165,11 @@ class Model(nn.Module):
     def __call__(
         self, x: jax.Array, features_only: bool = False
     ) -> jax.Array | Tuple[jax.Array, jax.Array]:
-        h_all = LSTMStack(
+        h_last = LSTMStack(
             self.lstm_size, self.lstm_layers, dtype=self.dtype,
-            param_dtype=self.param_dtype, input_grad=self.input_grad, name="lstm"
+            param_dtype=self.param_dtype, input_grad=self.input_grad,
+            last_state_only=True, name="lstm"
         )(x)
-        h_last = h_all[:, -1, :]
         if features_only:
             return h_last
         feats = nn.relu(
@@ -200,10 +209,10 @@ class InlineLSTM(nn.Module):
                 x = x.reshape(x.shape[0], -1).reshape(x.shape[0], x.shape[2], x.shape[1])
             else:
                 x = jnp.swapaxes(x, -1, -2)
-        h_all = LSTMStack(
-            self.hidden_size, self.num_layers, dtype=self.dtype, param_dtype=self.param_dtype, name="lstm"
+        h_last = LSTMStack(
+            self.hidden_size, self.num_layers, dtype=self.dtype,
+            param_dtype=self.param_dtype, last_state_only=True, name="lstm"
         )(x)
-        h_last = h_all[:, -1, :]
         feats = nn.Dense(self.output_size, dtype=self.dtype, param_dtype=self.param_dtype, name="fc")(h_last)
         cls = nn.Dense(self.n_classes, dtype=self.dtype, param_dtype=self.param_dtype, name="head")(feats)
         return feats, cls

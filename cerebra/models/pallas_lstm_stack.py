@@ -236,13 +236,16 @@ def _contract_rows(a, b):
     )
 
 
-def _bwd_kernel(n_layers, H, C, need_dx, *refs):
+def _bwd_kernel(n_layers, H, C, need_dx, g_last_only, *refs):
     # refs: g_top, x_t, (h_prev, prefac, qf, w_hh_t, w_ih_t) × L,
     #       h_cur × (L-1) [inputs to layers 1..L-1 at time t],
     # outs: [dx if need_dx], (dwih, dwhh, db) × L | scratch: dh_s, dc_s
     # need_dx=False (input_grad=False callers: every training recipe — the
     # LSTM is the first trainable layer, so the EEG cotangent is dead) drops
     # the (T, B, C) dx stream AND layer 0's dgates @ w_ih_t matmul.
+    # g_last_only=True: the upstream cotangent is a (B, H) VMEM-resident
+    # block hitting only time T-1 (the h[-1]-head recipes) instead of a
+    # (T, B, H) HBM stream of mostly zeros.
     g_ref = refs[0]
     x_ref = refs[1]
     per_l = refs[2 : 2 + 5 * n_layers]
@@ -268,7 +271,11 @@ def _bwd_kernel(n_layers, H, C, need_dx, *refs):
     bf16 = per_l[1].dtype == jnp.bfloat16
     # the final grid row processes time 0, where h_prev must read as zero
     is_t0 = t == pl.num_programs(1) - 1
-    g_up = g_ref[0].astype(jnp.float32)  # upstream grad hits the top layer
+    if g_last_only:
+        # grid row 0 processes time T-1 — the only step the head touches
+        g_up = jnp.where(t == 0, g_ref[...].astype(jnp.float32), 0.0)
+    else:
+        g_up = g_ref[0].astype(jnp.float32)  # upstream grad hits the top layer
     for l in reversed(range(n_layers)):
         h_prev_ref, prefac_ref, qf_ref, w_hh_t_ref, w_ih_t_ref = per_l[5 * l : 5 * l + 5]
         dwih_ref, dwhh_ref, db_ref = dw_refs[3 * l : 3 * l + 3]
@@ -646,7 +653,7 @@ def _vjp_fwd(x, layers):
     return h_top, (x, layers, outs)
 
 
-def _vjp_bwd(residuals, g, need_dx: bool = True):
+def _vjp_bwd(residuals, g, need_dx: bool = True, g_last_only: bool = False):
     x, layers, outs = residuals
     T, B, C = x.shape
     L = len(layers)
@@ -662,7 +669,12 @@ def _vjp_bwd(residuals, g, need_dx: bool = True):
         lambda b, t: (jnp.maximum(T - 2 - t, 0), b, 0),
         memory_space=pltpu.VMEM,
     )
-    in_specs = [_rev_row_spec(H, Bt, T), _rev_row_spec(C, Bt, T)]
+    if g_last_only:
+        # g is (B, H): one VMEM-resident block per batch tile, not a stream
+        g_spec = pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+    else:
+        g_spec = _rev_row_spec(H, Bt, T)
+    in_specs = [g_spec, _rev_row_spec(C, Bt, T)]
     args = [g.astype(x.dtype), x]
     for l in range(L):
         h_all, prefac, qf = outs[3 * l : 3 * l + 3]
@@ -694,7 +706,7 @@ def _vjp_bwd(residuals, g, need_dx: bool = True):
             jax.ShapeDtypeStruct((1, four_h), jnp.float32),
         ]
     res = pl.pallas_call(
-        functools.partial(_bwd_kernel, L, H, C, need_dx),
+        functools.partial(_bwd_kernel, L, H, C, need_dx, g_last_only),
         grid=(nb, T),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -740,6 +752,105 @@ def _vjp_bwd_no_dx(residuals, g):
 lstm_stack_pallas_ndx.defvjp(_vjp_fwd, _vjp_bwd_no_dx)
 
 
+def _fwd_infer_last_kernel(n_layers, H, *refs):
+    # refs: x, (w_ih, w_hh, b) × L | h_last (Bt, H) | h_s, c_s
+    # The h_last block has a CONSTANT index map per batch tile: it lives in
+    # VMEM across the whole time loop and is flushed once — no (T, B, H)
+    # HBM stream for heads that only read h[-1].
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + 3 * n_layers]
+    h_last_ref = refs[1 + 3 * n_layers]
+    h_s, c_s = refs[-2], refs[-1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[...] = jnp.zeros_like(h_s)
+        c_s[...] = jnp.zeros_like(c_s)
+
+    inp = x_ref[0]
+    for l in range(n_layers):
+        w_ih, w_hh, bias = w_refs[3 * l], w_refs[3 * l + 1], w_refs[3 * l + 2]
+        h = h_s[l]
+        c_prev = c_s[l]
+        gates = (
+            jnp.dot(inp, w_ih[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(w_hh.dtype), w_hh[:], preferred_element_type=jnp.float32)
+            + bias[:].astype(jnp.float32)
+        )
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c_new = f * c_prev + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_s[l] = h_new
+        c_s[l] = c_new
+        inp = h_new.astype(x_ref.dtype)
+    h_last_ref[...] = inp  # revisited block: time T-1's write is the flush
+
+
+def _fwd_infer_last_impl(x, layers):
+    T, B, C = x.shape
+    L = len(layers)
+    _, H = _layer_dims(x, layers)
+    Bt = _pick_tile(B, H, L, x.dtype.itemsize)
+    nb = B // Bt
+    four_h = 4 * H
+
+    in_specs = [_row_spec(C, Bt)]
+    args = [x]
+    for w_ih, w_hh, bias in layers:
+        in_specs += [
+            _whole_spec(w_ih.shape),
+            _whole_spec(w_hh.shape),
+            _whole_spec((1, four_h)),
+        ]
+        args += [w_ih, w_hh, bias.reshape(1, four_h)]
+    return pl.pallas_call(
+        functools.partial(_fwd_infer_last_kernel, L, H),
+        grid=(nb, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+            pltpu.VMEM((L, Bt, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*args)
+
+
+def _make_last_variant(need_dx: bool):
+    """custom_vjp producing ONLY h[-1] (B, H) — the shape every model head
+    here consumes. Forward-inference skips the (T, B, H) h_top HBM stream;
+    the backward takes a (B, H) cotangent instead of streaming a (T, B, H)
+    tensor of mostly zeros that XLA would otherwise also have to
+    materialize. need_dx=False additionally drops the dx stream (see
+    lstm_stack_pallas_ndx)."""
+
+    @jax.custom_vjp
+    def f(x, layers):
+        layers = tuple(tuple(l) for l in layers)
+        return _fwd_infer_last_impl(x, layers)
+
+    def fwd(x, layers):
+        layers = tuple(tuple(l) for l in layers)
+        outs = _fwd_train_impl(x, layers)
+        h_top = outs[3 * (len(layers) - 1)]
+        return h_top[-1], (x, layers, outs)
+
+    def bwd(residuals, g):
+        return _vjp_bwd(residuals, g, need_dx=need_dx, g_last_only=True)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+lstm_stack_pallas_last = _make_last_variant(need_dx=True)
+lstm_stack_pallas_last_ndx = _make_last_variant(need_dx=False)
+
+
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -769,6 +880,16 @@ def lstm_stack(
       input is non-differentiable data, i.e. the LSTM is the first
       trainable layer, as in every training recipe here.
     """
+    x, layers, B, Bp, H, Hp = _pad_for_kernel(x, layers, pad_lanes)
+    h = (lstm_stack_pallas if input_grad else lstm_stack_pallas_ndx)(x, layers)
+    if Bp != B:
+        h = h[:, :B]
+    return h[:, :, :H] if Hp != H else h
+
+
+def _pad_for_kernel(x, layers, pad_lanes):
+    """Lane-pad H to the 128-wide vregs and 8-align the batch (see
+    lstm_stack's docstring for why both are safe/bit-exact)."""
     layers = tuple(tuple(l) for l in layers)
     H = layers[0][1].shape[0]
     if pad_lanes is None:
@@ -792,13 +913,29 @@ def lstm_stack(
         layers = tuple(padded)
 
     # BATCH padding: partial tiles must be 8-aligned on TPU (see _pick_tile);
-    # pad rows are zeros, their outputs/gradients are cropped away below
+    # pad rows are zeros, their outputs/gradients are cropped by the callers
     B = x.shape[1]
     Bp = _padded_batch(B, Hp, len(layers), x.dtype.itemsize)
     if Bp != B:
         x = jnp.pad(x, ((0, 0), (0, Bp - B), (0, 0)))
+    return x, layers, B, Bp, H, Hp
 
-    h = (lstm_stack_pallas if input_grad else lstm_stack_pallas_ndx)(x, layers)
+
+def lstm_stack_last(
+    x: jax.Array,
+    layers: Sequence[Tuple[jax.Array, jax.Array, jax.Array]],
+    pad_lanes: int | None = None,
+    input_grad: bool = True,
+) -> jax.Array:
+    """`lstm_stack` returning ONLY the final hidden state (B, H).
+
+    Every model head in this repo consumes h[-1]; producing just it lets
+    the inference kernel keep the top layer's states VMEM-resident (no
+    (T, B, H) HBM stream) and the backward consume a (B, H) cotangent
+    instead of a zero-padded (T, B, H) one. Same lane/batch padding and
+    input_grad semantics as `lstm_stack`."""
+    x, layers, B, Bp, H, Hp = _pad_for_kernel(x, layers, pad_lanes)
+    h = (lstm_stack_pallas_last if input_grad else lstm_stack_pallas_last_ndx)(x, layers)
     if Bp != B:
-        h = h[:, :B]
-    return h[:, :, :H] if Hp != H else h
+        h = h[:B]
+    return h[:, :H] if Hp != H else h

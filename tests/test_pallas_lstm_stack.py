@@ -276,3 +276,73 @@ def test_stack_module_input_grad_wiring():
     g_ndx = jax.grad(lambda p: loss(m_ndx, p))(params)
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_ndx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@pytest.mark.parametrize("input_grad", [True, False])
+def test_last_state_variant_matches_scan(input_grad):
+    """lstm_stack_last (the h[-1]-only fwd kernel + (B,H)-cotangent
+    backward) must match the scan reference's values and weight grads; with
+    input_grad=True its dx must match too."""
+    from cerebra.models.pallas_lstm_stack import lstm_stack_last
+
+    x, layers = make_case(T=6, B=8, C=5, H=4, L=2, seed=9)
+
+    def loss_last(x, layers):
+        return jnp.sum(lstm_stack_last(x, layers, pad_lanes=1, input_grad=input_grad) ** 2)
+
+    def loss_scan(x, layers):
+        return jnp.sum(scan_reference(x, layers)[-1] ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(lstm_stack_last(x, layers, pad_lanes=1)),
+        np.asarray(scan_reference(x, layers)[-1]),
+        atol=1e-6, rtol=1e-6,
+    )
+    (dx_p, dl_p) = jax.grad(loss_last, argnums=(0, 1))(x, layers)
+    (dx_s, dl_s) = jax.grad(loss_scan, argnums=(0, 1))(x, layers)
+    if input_grad:
+        np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_s), atol=2e-5, rtol=2e-4)
+    else:
+        np.testing.assert_array_equal(np.asarray(dx_p), 0.0)
+    for a, b in zip(jax.tree.leaves(dl_p), jax.tree.leaves(dl_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
+def test_last_state_variant_lane_and_batch_padding():
+    """Padded-H (5→8) + padded-B path of the last-state kernel."""
+    from cerebra.models.pallas_lstm_stack import lstm_stack_last
+
+    x, layers = make_case(T=5, B=12, C=5, H=5, L=2, seed=13)
+
+    got = lstm_stack_last(x, layers, pad_lanes=8)
+    want = scan_reference(x, layers)[-1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    def loss_last(layers):
+        return jnp.sum(lstm_stack_last(x, layers, pad_lanes=8, input_grad=False) ** 2)
+
+    def loss_scan(layers):
+        return jnp.sum(scan_reference(x, layers)[-1] ** 2)
+
+    for a, b in zip(
+        jax.tree.leaves(jax.grad(loss_last)(layers)),
+        jax.tree.leaves(jax.grad(loss_scan)(layers)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
+def test_lstmstack_last_state_only_module():
+    """LSTMStack(last_state_only=True) equals the sequence module's h[-1]
+    on both the scan path and the forced-pallas path."""
+    from cerebra.models.lstm import LSTMStack
+
+    rng = np.random.default_rng(21)
+    eeg = jnp.asarray(rng.normal(size=(4, 10, 6)).astype(np.float32))
+    seq = LSTMStack(hidden_size=8, num_layers=2)
+    params = seq.init(jax.random.key(0), eeg)["params"]
+    want = seq.apply({"params": params}, eeg)[:, -1, :]
+    for pallas in (False, True):
+        last = LSTMStack(hidden_size=8, num_layers=2, use_pallas=pallas,
+                         last_state_only=True)
+        got = last.apply({"params": params}, eeg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
