@@ -850,14 +850,16 @@ def exp_bwdstack():
 EXPS["bwdstack"] = exp_bwdstack
 
 
-def exp_rcstack(B=1024, H=96):
+def exp_rcstack(B=1024, H=96, L=2, Hp=128, Tt=460):
     """Recompute-backward variant (store h/c, re-derive gates — 5H of
-    stream instead of 14H round trip) vs the shipped 7H-residual kernel at
-    headline shapes, timed through the full fwd+bwd grad."""
+    stream instead of 14H round trip) vs the shipped 7H-residual kernel,
+    timed through the full fwd+bwd grad. Defaults = headline shapes;
+    `rcstack 1024 96 4 128 300` = the DINO-LSTM backbone's L=4 depth,
+    where the residual stream is 2x heavier and the tradeoff could flip."""
     from cerebra.models import pallas_lstm_stack as S
 
     rng = np.random.default_rng(0)
-    L, Hp, Tt = 2, 128, 460
+    L, Hp, Tt = int(L), int(Hp), int(Tt)
     x = jnp.asarray(rng.normal(size=(Tt, B, H)) * 0.1, dtype=jnp.bfloat16)
     layers = []
     for l in range(L):
