@@ -47,6 +47,9 @@ def main(argv=None):
     # (measured neutral at reference scale, BENCH_AUX round 3 — may pay
     # at vit_base / larger global_size)
     parser.add_argument("--use_flash", type=bool_flag, default=False)
+    # beyond the reference: jax.checkpoint each ViT block (measured -16% at
+    # reference scale, BENCH_AUX round 3 — a memory lever for vit_base+)
+    parser.add_argument("--remat", type=bool_flag, default=False)
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     init_distributed()
@@ -66,7 +69,7 @@ def main(argv=None):
         global_size=FLAGS.global_size, local_size=FLAGS.local_size,
         norm_last_layer=FLAGS.norm_last_layer, use_bn_in_head=FLAGS.use_bn_in_head,
         seed=FLAGS.seed, dtype=jnp.bfloat16 if FLAGS.use_bf16 else None,
-        use_flash=FLAGS.use_flash,
+        use_flash=FLAGS.use_flash, remat=FLAGS.remat,
     )
     # stimulus images: not bundled — locals fall back to EEG-image crops
     state, hist = dino_vit_train(

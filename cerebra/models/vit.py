@@ -177,6 +177,9 @@ class VisionTransformer(nn.Module):
     layer_scale: bool = False  # True = DINOv2-style blocks
     dtype: Optional[Any] = None
     use_flash: bool = False  # Pallas flash attention on TPU (globals only)
+    # jax.checkpoint each block (save only matmul outputs): trades GELU/LN/
+    # softmax recompute for the backward's saved-activation HBM streams.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -207,15 +210,23 @@ class VisionTransformer(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         final_norm = nn.LayerNorm(dtype=self.dtype, name="norm")
         intermediates: List[jax.Array] = []
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(
+                Block,
+                static_argnums=(2, 3),  # train / return_attention (counting self=0)
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
         for i in range(self.depth):
-            block = Block(
+            block = block_cls(
                 self.embed_dim, self.num_heads, self.mlp_ratio, float(dpr[i]),
                 layer_scale=self.layer_scale, dtype=self.dtype,
                 use_flash=self.use_flash, name=f"block_{i}",
             )
             if return_attention_of_last_block and i == self.depth - 1:
-                return block(tokens, train=train, return_attention=True)
-            tokens = block(tokens, train=train)
+                # positional: remat's static_argnums can't see kwargs
+                return block(tokens, train, True)
+            tokens = block(tokens, train, False)
             if n_intermediate and i >= self.depth - n_intermediate and i < self.depth - 1:
                 # the reference norms EVERY returned layer
                 # (dino/vision_transformer.py:232)

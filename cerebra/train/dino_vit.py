@@ -63,13 +63,15 @@ class DinoVitConfig:
     # Pallas flash attention for the global-crop sequences (TPU only; local
     # crops below Attention.flash_min_seq keep the naive path).
     use_flash: bool = False
+    # jax.checkpoint each ViT block (save matmul outputs only).
+    remat: bool = False
 
 
 def build_vit(cfg: DinoVitConfig) -> VisionTransformer:
     ctor = {"vit_tiny": vit_tiny, "vit_small": vit_small, "vit_base": vit_base}[cfg.arch]
     return ctor(
         patch_size=cfg.patch_size, img_size=cfg.global_size, dtype=cfg.dtype,
-        use_flash=cfg.use_flash,
+        use_flash=cfg.use_flash, remat=cfg.remat,
     )
 
 

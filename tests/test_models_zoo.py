@@ -113,6 +113,37 @@ def test_vit_forward_and_attention():
     assert len(inter) == 2 and inter[-1].shape == (2, n_tokens, 192)
 
 
+def test_vit_remat_matches_plain():
+    """remat=True (jax.checkpoint per block, matmul-outputs-saveable policy)
+    must be a pure memory/scheduling change: values AND grads match the
+    plain path, and the attention-map surface still works."""
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 32, 32, 3)), jnp.float32)
+    plain = vit_tiny(patch_size=8, img_size=32)
+    remat = vit_tiny(patch_size=8, img_size=32, remat=True)
+    vars_ = plain.init(jax.random.key(0), x)
+
+    out_p = plain.apply(vars_, x)
+    out_r = remat.apply(vars_, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=1e-5, rtol=1e-5)
+
+    def loss(m):
+        def f(params):
+            return jnp.sum(m.apply(params, x) ** 2)
+        return f
+
+    from jax.flatten_util import ravel_pytree
+
+    g_p = jax.grad(loss(plain))(vars_)
+    g_r = jax.grad(loss(remat))(vars_)
+    flat_p, _ = ravel_pytree(g_p)
+    flat_r, _ = ravel_pytree(g_r)
+    rel = float(jnp.linalg.norm(flat_p - flat_r) / jnp.linalg.norm(flat_p))
+    assert rel < 1e-5, rel
+
+    attn = remat.apply(vars_, x, return_attention_of_last_block=True)
+    assert attn.shape == (2, 3, 17, 17)
+
+
 def test_vit_pos_embed_interpolation():
     m = vit_tiny(patch_size=8, img_size=32)
     vars_ = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
