@@ -118,8 +118,9 @@ def test_vit_remat_matches_plain():
     must be a pure memory/scheduling change: values AND grads match the
     plain path, and the attention-map surface still works."""
     x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 32, 32, 3)), jnp.float32)
-    plain = vit_tiny(patch_size=8, img_size=32)
-    remat = vit_tiny(patch_size=8, img_size=32, remat=True)
+    kw = dict(img_size=32, patch_size=8, embed_dim=192, depth=2, num_heads=3)
+    plain = VisionTransformer(**kw)
+    remat = VisionTransformer(**kw, remat=True)
     vars_ = plain.init(jax.random.key(0), x)
 
     out_p = plain.apply(vars_, x)
