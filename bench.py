@@ -17,8 +17,10 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 
 import json
 import os
+import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -30,6 +32,37 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benc
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def wait_for_backend(
+    attempts: int = int(os.environ.get("CEREBRA_BENCH_PROBE_ATTEMPTS", "3")),
+    probe_timeout_s: float = float(os.environ.get("CEREBRA_PROBE_TIMEOUT_S", "60")),
+    backoff_s: float = float(os.environ.get("CEREBRA_BENCH_PROBE_BACKOFF_S", "20")),
+) -> None:
+    """Block until the default JAX backend initializes, probed in a BOUNDED
+    subprocess with retry/backoff. The env's registered axon TPU backend can
+    either raise ("TPU backend setup/compile error", round-3 BENCH rc=1) or
+    hang indefinitely (dead tunnel) inside `jax.devices()`; neither may take
+    down the bench uncontrolled. Raises RuntimeError after the final attempt
+    so main() can emit a machine-readable diagnostic line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __graft_entry__ as graft
+
+    last = None
+    for i in range(attempts):
+        if i:
+            log(f"backend probe retry {i + 1}/{attempts} in {backoff_s:.0f}s ...")
+            time.sleep(backoff_s)
+        count = graft._probe_real_devices(timeout_s=probe_timeout_s)
+        if count:
+            log(f"backend probe OK: {count} device(s)")
+            return
+        last = count
+    raise RuntimeError(
+        f"JAX backend failed to initialize after {attempts} bounded probes "
+        f"(timeout {probe_timeout_s:.0f}s each, last result {last!r}); "
+        "the tunneled TPU backend is unavailable"
+    )
 
 
 def measure_jax() -> float:
@@ -186,9 +219,38 @@ def flops_per_window() -> float:
 
 
 def main():
-    baseline = measure_torch_baseline()
-    baseline_wps = max(baseline["windows_per_s"], baseline["windows_per_s_b1024"])
-    jax_wps = measure_jax()
+    # hard watchdog: if the tunnel dies MID-measurement the in-process jax
+    # calls can block forever; convert that into the diagnostic JSON line.
+    import signal
+
+    watchdog_s = int(os.environ.get("CEREBRA_BENCH_WATCHDOG_S", "1800"))
+
+    def _timeout(signum, frame):
+        raise TimeoutError(f"bench watchdog fired after {watchdog_s}s")
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(watchdog_s)
+    try:
+        baseline = measure_torch_baseline()
+        baseline_wps = max(baseline["windows_per_s"], baseline["windows_per_s_b1024"])
+        wait_for_backend()
+        jax_wps = measure_jax()
+    except BaseException as e:  # noqa: BLE001 — ALWAYS emit one JSON line
+        signal.alarm(0)
+        log(traceback.format_exc())
+        print(
+            json.dumps(
+                {
+                    "metric": "eeg_windows_per_sec_per_chip_filter_lstm_fwd_bwd",
+                    "value": None,
+                    "unit": "windows/s",
+                    "vs_baseline": None,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+        raise SystemExit(3)
+    signal.alarm(0)
     gf = flops_per_window() / 1e9
     tflops = jax_wps * gf / 1e3
     log(

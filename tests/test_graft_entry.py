@@ -53,3 +53,36 @@ def test_dryrun_multichip_subprocess_fallback():
     assert proc.returncode == 0, proc.stdout
     assert "dryrun_multichip OK" in proc.stdout
     assert "FALLBACK_OK" in proc.stdout
+
+
+def test_dryrun_mesh_shape_2x4():
+    """Mesh-shape generality (VERDICT round 3 #8): the full meshed training
+    step must hold on a (2 data × 4 model) factorization, not only the
+    driver's default (4, 2) — model-axis size 4 changes every TP sharding."""
+    graft._dryrun_multichip_impl(8, mesh_shape=(2, 4))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shape", [(8,), (4, 2)])
+def test_dryrun_mesh_shape_sweep_8dev(shape):
+    graft._dryrun_multichip_impl(8, mesh_shape=shape)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,shape", [(16, (8, 2)), (32, (16, 2)), (16, (4, 4))])
+def test_dryrun_larger_virtual_meshes(n, shape):
+    """16/32 virtual devices in a fresh interpreter (the suite's own backend
+    is pinned at 8 devices)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        f"import __graft_entry__ as g; g._dryrun_multichip_impl({n}, mesh_shape={shape})"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stdout
+    assert "dryrun_multichip OK" in proc.stdout
