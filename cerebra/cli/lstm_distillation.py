@@ -104,13 +104,21 @@ def main(argv=None):
     from cerebra.cli.common import is_main_process
 
     def checkpoint_cb(epoch, state):
-        if not is_main_process():  # save_on_master (utils/utils.py:447-449)
+        # The host gather runs on ALL ranks: with a data×model mesh the
+        # prototype layer / Adam moments / center are TP-sharded and not
+        # fully addressable per process, so np.asarray alone would raise —
+        # host_replicated re-replicates them collectively (ADVICE round 3,
+        # medium). Only the file write is rank-0 (save_on_master,
+        # utils/utils.py:447-449).
+        from cerebra.train.checkpoints import host_replicated
+
+        student, teacher, center, opt_state = host_replicated(
+            (state.student_params, state.teacher_params, state.center, state.opt_state)
+        )
+        if not is_main_process():
             return
-        student = jax.tree.map(np.asarray, state.student_params)
-        teacher = jax.tree.map(np.asarray, state.teacher_params)
-        center = np.asarray(state.center)
         kw = dict(
-            args=vars(FLAGS), opt_state=state.opt_state,
+            args=vars(FLAGS), opt_state=opt_state,
             lr=FLAGS.lr, weight_decay=FLAGS.weight_decay,
             norm_last_layer=FLAGS.norm_last_layer,
         )

@@ -90,19 +90,25 @@ def shard_corpus(
         return jax.device_put(blocked, sharding), n_local
     if mesh.devices.ndim == 1:
         # canonical multi-host ingest: this process contributes its devices'
-        # contiguous row-block
+        # row-block — valid for make_array_from_process_local_data ONLY when
+        # that block is contiguous and ascending in mesh order (a permuted
+        # device→process layout would silently hand wrong shards to devices;
+        # ADVICE round 3). Otherwise fall through to the general callback
+        # path, which indexes the global array per device and is
+        # layout-agnostic.
         rows = [
             i
             for i, d in enumerate(mesh.devices.flat)
             if d.process_index == jax.process_index()
         ]
-        local = blocked[rows]
-        return (
-            jax.make_array_from_process_local_data(
-                sharding, local, global_shape=blocked.shape
-            ),
-            n_local,
-        )
+        if rows and rows == list(range(rows[0], rows[0] + len(rows))):
+            local = blocked[rows]
+            return (
+                jax.make_array_from_process_local_data(
+                    sharding, local, global_shape=blocked.shape
+                ),
+                n_local,
+            )
     return (
         jax.make_array_from_callback(blocked.shape, sharding, lambda i: blocked[i]),
         n_local,

@@ -23,6 +23,33 @@ import numpy as np
 from cerebra.models.lstm import export_torch_state_dict, import_torch_state_dict
 
 
+# ----------------------------------------------------------- host export
+def host_replicated(tree: Any) -> Any:
+    """Pytree of jax.Arrays → pytree of host numpy arrays, correct under ANY
+    sharding and process count.
+
+    Leaves that are not fully addressable on this process (e.g. the DINO
+    prototype matrix / Adam moments / center TP-sharded P(None, "model")
+    across processes — cerebra.parallel.tp.shard_dino_state) are first
+    re-replicated with a collective identity-jit; `np.asarray` on such a
+    leaf would raise. MUST therefore be called on ALL processes (like the
+    reference's implicit DDP replication that makes save_on_master trivial,
+    utils/utils.py:447-449); gate only the file WRITE on rank 0, never this
+    gather.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fix(leaf):
+        if isinstance(leaf, jax.Array) and not (
+            leaf.is_fully_addressable or leaf.sharding.is_fully_replicated
+        ):
+            mesh = leaf.sharding.mesh
+            leaf = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(leaf)
+        return np.asarray(leaf)
+
+    return jax.tree.map(fix, tree)
+
+
 # ------------------------------------------------------------------- orbax
 def save_orbax(path: str, tree: Any) -> None:
     import orbax.checkpoint as ocp
@@ -272,14 +299,19 @@ def adamw_state_from_torch(opt_sd: dict, opt_state_template):
         )
     mu_sd = dict(mu_sd_template)  # excluded/lazy params keep template moments
     nu_sd = dict(nu_sd_template)
-    step = float(np.asarray(adam.count))
+    # torch keeps a per-param step under lazy init (frozen-gain /
+    # cancel_gradients_last_layer params lag behind); optax has ONE count.
+    # Take the MAX across entries — the true number of optimizer steps the
+    # run performed — instead of whichever id iterates last (ADVICE round 3).
+    steps = []
     for name, pid in zip(flat_names, ids):
         entry = opt_sd["state"].get(pid)
         if entry is None:  # torch lazy init: no grad yet → no state entry
             continue
         mu_sd[name] = np.asarray(entry["exp_avg"], dtype=np.float32)
         nu_sd[name] = np.asarray(entry["exp_avg_sq"], dtype=np.float32)
-        step = float(np.asarray(entry["step"]))
+        steps.append(float(np.asarray(entry["step"])))
+    step = max(steps) if steps else float(np.asarray(adam.count))
     new_adam = optax.ScaleByAdamState(
         count=jnp.asarray(step, dtype=jnp.int32),
         mu=torch_state_dict_to_wrapped(mu_sd),

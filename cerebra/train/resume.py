@@ -43,13 +43,18 @@ class AutoResume:
         return max(steps) if steps else None
 
     def save(self, step: int, tree: Any) -> None:
-        # rank-0-only (save_on_master, utils/utils.py:447-449): under
-        # multi-process launches every rank shares the directory
+        # ALL processes call save_orbax: checkpointing multi-process
+        # jax.Arrays is a COLLECTIVE (each process writes its addressable
+        # shards and joins orbax's global sync barrier) — a rank-0-only gate
+        # here deadlocks at the barrier and cannot serialize non-addressable
+        # TP shards (ADVICE round 3, high). Orbax single-writes metadata
+        # itself, so this IS the save_on_master equivalent
+        # (utils/utils.py:447-449); only stale-step cleanup is rank-0.
         import jax
 
+        save_orbax(self._step_dir(step), tree)
         if jax.process_count() > 1 and jax.process_index() != 0:
             return
-        save_orbax(self._step_dir(step), tree)
         steps = sorted(
             int(n.split("_")[1]) for n in os.listdir(self.directory) if n.startswith("step_")
         )

@@ -84,11 +84,43 @@ WORKER_2D = textwrap.dedent(
         lstm_layers=1, global_length=16, local_length=8, warmup_epochs=0,
     )
     mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+
+    # checkpoint_cb runs the cli.lstm_distillation export path: the host
+    # gather (host_replicated) is COLLECTIVE across both processes because
+    # the prototype layer / moments / center are TP-sharded over "model",
+    # which spans processes here; the .pth write stays rank-0
+    # (ADVICE round 3, medium).
+    from cerebra.train.checkpoints import export_dino_pth, host_replicated
+
+    ckpt_dir = os.environ["CEREBRA_CKPT_DIR"]
+
+    def checkpoint_cb(epoch, state):
+        student, teacher, center, opt_state = host_replicated(
+            (state.student_params, state.teacher_params, state.center,
+             state.opt_state)
+        )
+        if jax.process_index() != 0:
+            return
+        export_dino_pth(
+            os.path.join(ckpt_dir, "checkpoint.pth"),
+            student, teacher, center, epoch, opt_state=opt_state,
+        )
+
+    # AutoResume.save is collective too (all ranks call orbax; ADVICE
+    # round 3, high) — a rank gate here deadlocked the first epoch save.
+    from cerebra.train.resume import AutoResume
+
+    resume = AutoResume(os.path.join(ckpt_dir, "orbax"))
     state, hist = dino_selfdistill_train(eeg, config=cfg, mesh=mesh,
-                                         log_fn=lambda s: None)
+                                         log_fn=lambda s: None,
+                                         checkpoint_cb=checkpoint_cb,
+                                         resume=resume)
     v = state.student_params["head"]["last_layer"]["v"]
     assert v.sharding.spec == P(None, "model"), v.sharding
     assert np.isfinite(hist["loss"]).all()
+    assert resume.latest_step() is not None
+    if jax.process_index() == 0:
+        assert os.path.exists(os.path.join(ckpt_dir, "checkpoint.pth"))
     print("LOSS2D " + json.dumps(hist["loss"]))
     """
 )
@@ -110,7 +142,9 @@ def test_two_process_2d_mesh_with_tp(tmp_path):
         "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
         "WORLD_SIZE": "2",
         "CEREBRA_REPO": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CEREBRA_CKPT_DIR": str(tmp_path / "ckpt"),
     }
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
     procs = [
         subprocess.Popen(
             [sys.executable, str(script)],

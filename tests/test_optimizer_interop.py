@@ -150,6 +150,25 @@ def test_import_tolerates_lazy_torch_state_and_unfrozen_gain(tmp_path):
     assert int(a2.count) == 2
 
 
+def test_import_takes_max_step_across_lazy_param_states():
+    """torch inits per-param state lazily, so params frozen for part of the
+    run carry SMALLER step counters; the single optax count must restore to
+    the max (the true step count), not whichever id iterates last
+    (ADVICE round 3)."""
+    import torch
+
+    params, tx, opt_state = _tiny_state()
+    from cerebra.train.checkpoints import _find_adam_state
+
+    opt_sd = adamw_state_to_torch(opt_state, lr=1e-3, weight_decay=0.04)
+    all_ids = sorted(i for g in opt_sd["param_groups"] for i in g["params"])
+    # the LAST-iterated ids lag (e.g. last layer unfrozen late in the run)
+    for pid in all_ids[len(all_ids) // 2:]:
+        opt_sd["state"][pid]["step"] = torch.tensor(1.0)
+    restored = adamw_state_from_torch(opt_sd, tx.init(params))
+    assert int(_find_adam_state(restored).count) == 2  # max, not last-wins
+
+
 def test_export_import_dino_pth_roundtrips_optimizer(tmp_path):
     params, tx, opt_state = _tiny_state()
     center = np.zeros((1, 16), np.float32)

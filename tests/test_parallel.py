@@ -166,3 +166,31 @@ def test_local_epoch_indices_cover_every_sample():
     again = local_epoch_indices(5, 4, 2, 3, seed=0, epoch=1)
     np.testing.assert_array_equal(idx, again)
     assert not np.array_equal(idx, local_epoch_indices(5, 4, 2, 3, seed=0, epoch=2))
+
+
+def test_host_replicated_gathers_tp_sharded_leaves():
+    """host_replicated must hand back plain numpy for ANY layout — including
+    model-axis-sharded leaves (the checkpoint_cb export path under TP;
+    ADVICE round 3, medium) — without changing values."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cerebra.train.checkpoints import host_replicated
+
+    mesh = make_mesh(("data", "model"), (4, 2))
+    rng = np.random.default_rng(0)
+    tree = {
+        "v": rng.normal(size=(8, 16)).astype(np.float32),   # P(None, model)
+        "g": rng.normal(size=(16,)).astype(np.float32),     # P(model)
+        "center": rng.normal(size=(1, 16)).astype(np.float32),
+        "scalar": np.float32(3.0),                          # replicated
+    }
+    sharded = {
+        "v": jax.device_put(tree["v"], NamedSharding(mesh, P(None, "model"))),
+        "g": jax.device_put(tree["g"], NamedSharding(mesh, P("model"))),
+        "center": jax.device_put(tree["center"], NamedSharding(mesh, P(None, "model"))),
+        "scalar": jnp.asarray(tree["scalar"]),
+    }
+    host = host_replicated(sharded)
+    for k in tree:
+        assert isinstance(host[k], np.ndarray), k
+        np.testing.assert_array_equal(host[k], tree[k])
