@@ -274,50 +274,16 @@ def vit_small_dinov2(img_size: int = 518, **kw) -> VisionTransformer:
     )
 
 
-def import_dino_vit_torch(state_dict, depth: int = 12) -> dict:
-    """torch DINO ViT state dict → flax params for VisionTransformer.
+def import_vit_torch(state_dict, depth: int = 12, layer_scale: bool = False) -> dict:
+    """timm-style torch ViT state dict → flax params for VisionTransformer.
 
-    Accepts the reference checkpoint layouts with `module./backbone./teacher.`
-    prefixes (utils/DinoModel.py:60-78 prefix-stripping)."""
-    sd = {}
-    for k, v in state_dict.items():
-        for pref in ("module.", "backbone."):
-            if k.startswith(pref):
-                k = k[len(pref) :]
-        sd[k] = np.asarray(v, dtype=np.float32)
-
-    p: dict = {}
-    p["cls_token"] = sd["cls_token"]
-    p["pos_embed"] = sd["pos_embed"]
-    w = sd["patch_embed.proj.weight"]  # (D, 3, P, P) → HWIO
-    p["patch_embed"] = {
-        "kernel": np.transpose(w, (2, 3, 1, 0)),
-        "bias": sd["patch_embed.proj.bias"],
-    }
-    for i in range(depth):
-        b = f"blocks.{i}."
-        p[f"block_{i}"] = {
-            "norm1": {"scale": sd[b + "norm1.weight"], "bias": sd[b + "norm1.bias"]},
-            "norm2": {"scale": sd[b + "norm2.weight"], "bias": sd[b + "norm2.bias"]},
-            "attn": {
-                "qkv": {"kernel": sd[b + "attn.qkv.weight"].T, "bias": sd[b + "attn.qkv.bias"]},
-                "proj": {"kernel": sd[b + "attn.proj.weight"].T, "bias": sd[b + "attn.proj.bias"]},
-            },
-            "mlp_fc1": {"kernel": sd[b + "mlp.fc1.weight"].T, "bias": sd[b + "mlp.fc1.bias"]},
-            "mlp_fc2": {"kernel": sd[b + "mlp.fc2.weight"].T, "bias": sd[b + "mlp.fc2.bias"]},
-        }
-    p["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
-    return {"params": p}
-
-
-def import_dinov2_vit_torch(state_dict, depth: int = 12) -> dict:
-    """DINOv2 torch state dict (the torch.hub dinov2_vits14 layout) → flax
-    params for a layer_scale VisionTransformer (vit_small_dinov2).
-
-    Layout differences from DINO v1: LayerScale gammas `blocks.{i}.ls{1,2}.gamma`
-    and an inference-unused `mask_token` (skipped). Keys may carry `module./
-    backbone./teacher.` prefixes (same stripping as utils/DinoModel.py:60-78).
-    """
+    One importer for both reference teacher families (VERDICT round 3 #9):
+    DINO v1 (dino/vision_transformer.py:134-254) and, with
+    ``layer_scale=True``, the torch.hub dinov2_vits14 layout — identical
+    except for LayerScale gammas `blocks.{i}.ls{1,2}.gamma` and an
+    inference-unused `mask_token` (skipped). Accepts checkpoint keys carrying
+    `module./teacher./backbone.` prefixes (utils/DinoModel.py:60-78
+    prefix-stripping)."""
     sd = {}
     for k, v in state_dict.items():
         for pref in ("module.", "teacher.", "backbone."):
@@ -335,7 +301,7 @@ def import_dinov2_vit_torch(state_dict, depth: int = 12) -> dict:
     }
     for i in range(depth):
         b = f"blocks.{i}."
-        p[f"block_{i}"] = {
+        blk = {
             "norm1": {"scale": sd[b + "norm1.weight"], "bias": sd[b + "norm1.bias"]},
             "norm2": {"scale": sd[b + "norm2.weight"], "bias": sd[b + "norm2.bias"]},
             "attn": {
@@ -344,8 +310,20 @@ def import_dinov2_vit_torch(state_dict, depth: int = 12) -> dict:
             },
             "mlp_fc1": {"kernel": sd[b + "mlp.fc1.weight"].T, "bias": sd[b + "mlp.fc1.bias"]},
             "mlp_fc2": {"kernel": sd[b + "mlp.fc2.weight"].T, "bias": sd[b + "mlp.fc2.bias"]},
-            "ls1_gamma": sd[b + "ls1.gamma"],
-            "ls2_gamma": sd[b + "ls2.gamma"],
         }
+        if layer_scale:
+            blk["ls1_gamma"] = sd[b + "ls1.gamma"]
+            blk["ls2_gamma"] = sd[b + "ls2.gamma"]
+        p[f"block_{i}"] = blk
     p["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
     return {"params": p}
+
+
+def import_dino_vit_torch(state_dict, depth: int = 12) -> dict:
+    """DINO v1 layout (no LayerScale) — see import_vit_torch."""
+    return import_vit_torch(state_dict, depth=depth, layer_scale=False)
+
+
+def import_dinov2_vit_torch(state_dict, depth: int = 12) -> dict:
+    """DINOv2 torch.hub layout (LayerScale) — see import_vit_torch."""
+    return import_vit_torch(state_dict, depth=depth, layer_scale=True)
