@@ -1050,6 +1050,93 @@ def exp_dinotail(batch=8):
 EXPS["dinotail"] = exp_dinotail
 
 
+def exp_vitroof(batch=16, n_tokens=785, dim=384, heads=6, mlp=1536):
+    """Roofline attribution for the ViT block (the dinoparts follow-up:
+    is the ~19-21%-of-peak position XLA's GLUE between ops — recoverable by
+    a fused block megakernel — or the ops' own MXU/HBM positions?).
+
+    Times every op of one vit_small block ISOLATED at the exact main_dino
+    global shapes ((2 views × B=8) × 785 tokens × 384), fwd and fwd+bwd,
+    with analytic FLOPs/bytes so each prints its achieved TF/s or GB/s.
+    Then the glued block (XLA) for comparison: block_time − Σ parts = the
+    fusion headroom a megakernel could recover at most.
+    """
+    rng = np.random.default_rng(0)
+    BT = batch * n_tokens
+    hd = dim // heads
+    x = jnp.asarray(rng.normal(size=(batch, n_tokens, dim)), jnp.bfloat16)
+    w_qkv = jnp.asarray(rng.normal(size=(dim, 3 * dim)) * 0.05, jnp.bfloat16)
+    w_proj = jnp.asarray(rng.normal(size=(dim, dim)) * 0.05, jnp.bfloat16)
+    w_fc1 = jnp.asarray(rng.normal(size=(dim, mlp)) * 0.05, jnp.bfloat16)
+    w_fc2 = jnp.asarray(rng.normal(size=(mlp, dim)) * 0.05, jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(batch, heads, n_tokens, hd)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(batch, heads, n_tokens, hd)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(batch, heads, n_tokens, hd)), jnp.bfloat16)
+    scores = jnp.asarray(rng.normal(size=(batch, heads, n_tokens, n_tokens)), jnp.bfloat16)
+    h_mlp = jnp.asarray(rng.normal(size=(batch, n_tokens, mlp)), jnp.bfloat16)
+
+    def s(t):
+        return jnp.sum(t.astype(jnp.float32))
+
+    def report(tag, fn, args, gflops=None, gbytes=None, grad_wrt=None):
+        f = jax.jit(lambda *a: s(fn(*a)))
+        dt = timeit(f, *args)
+        line = f"[vitroof] {tag:34s} fwd {dt*1e3:7.3f} ms"
+        if gflops:
+            line += f"  {gflops/dt/1e3:6.1f} TF/s"
+        if gbytes:
+            line += f"  {gbytes/dt:6.0f} GB/s"
+        if grad_wrt is not None:
+            g = jax.jit(jax.grad(lambda *a: s(fn(*a)), argnums=grad_wrt))
+            dtg = timeit(lambda *a: jax.tree.leaves(g(*a))[-1], *args)
+            line += f" | fwd+bwd {dtg*1e3:7.3f} ms"
+            if gflops:
+                line += f"  {3*gflops/dtg/1e3:6.1f} TF/s(3x)"
+        print(line, flush=True)
+        return dt
+
+    GF = 1e-9
+    # --- the six matmuls, isolated
+    report("qkv  (BT,384)@(384,1152)", lambda x, w: x @ w, (x, w_qkv),
+           gflops=2 * BT * dim * 3 * dim * GF, grad_wrt=(0, 1))
+    report("QK^T (B*H,785,64)@(64,785)",
+           lambda q, k: q @ jnp.swapaxes(k, -2, -1), (q, k),
+           gflops=2 * batch * heads * n_tokens * n_tokens * hd * GF, grad_wrt=(0, 1))
+    report("AV   (B*H,785,785)@(785,64)", lambda a, v: a @ v, (scores, v),
+           gflops=2 * batch * heads * n_tokens * n_tokens * hd * GF, grad_wrt=(0, 1))
+    report("proj (BT,384)@(384,384)", lambda x, w: x @ w, (x, w_proj),
+           gflops=2 * BT * dim * dim * GF, grad_wrt=(0, 1))
+    report("fc1  (BT,384)@(384,1536)", lambda x, w: x @ w, (x, w_fc1),
+           gflops=2 * BT * dim * mlp * GF, grad_wrt=(0, 1))
+    report("fc2  (BT,1536)@(1536,384)", lambda h, w: h @ w, (h_mlp, w_fc2),
+           gflops=2 * BT * dim * mlp * GF, grad_wrt=(0, 1))
+    # --- the elementwise/stream ops, isolated (report bandwidth)
+    ln = lambda t: (t - jnp.mean(t, -1, keepdims=True)) * jax.lax.rsqrt(
+        jnp.var(t, -1, keepdims=True) + 1e-6)
+    report("LN   (BT,384)", ln, (x,), gbytes=2 * BT * dim * 2 / 1e9, grad_wrt=(0,))
+    report("softmax (B,H,785,785)", lambda a: jax.nn.softmax(a, -1), (scores,),
+           gbytes=2 * batch * heads * n_tokens * n_tokens * 2 / 1e9, grad_wrt=(0,))
+    report("gelu (BT,1536)", lambda h: jax.nn.gelu(h, approximate=False), (h_mlp,),
+           gbytes=2 * BT * mlp * 2 / 1e9, grad_wrt=(0,))
+
+    # --- the glued block: XLA's position on the whole thing
+    from cerebra.models.vit import Block
+
+    blk_gf = (2 * BT * dim * 3 * dim + 2 * 2 * batch * heads * n_tokens**2 * hd
+              + 2 * BT * dim * dim + 2 * 2 * BT * dim * mlp) * GF
+    for tag, flash in (("Block (XLA glued)", False), ("Block (flash attn)", True)):
+        block = Block(dim, heads, dtype=jnp.bfloat16, use_flash=flash)
+        params = block.init(jax.random.key(0), x[:1], False, False)["params"]
+
+        def bf(p, x):
+            return block.apply({"params": p}, x, False, False)
+
+        report(f"{tag} {blk_gf:.1f} GF", bf, (params, x), gflops=blk_gf, grad_wrt=(0, 1))
+
+
+EXPS["vitroof"] = exp_vitroof
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)

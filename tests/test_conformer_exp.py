@@ -111,3 +111,25 @@ def test_conformer_exp_cli_end_to_end(tmp_path):
     assert "The best accuracy is:" in log
     assert (tmp_path / "sub_result.txt").exists()
     assert (tmp_path / "conformer_subject1_orbax").exists()
+
+
+def test_fused_patch_embed_matches_conv_pair():
+    """The fused (C,25)-kernel patch embed must equal the reference's
+    temporal+spatial conv pair exactly (same param tree, float-reassociation
+    tolerance) — the round-4 conformer MXU lever."""
+    import jax
+    import jax.numpy as jnp
+
+    from cerebra.models.conformer import PatchEmbedding
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 1, 22, 300)), jnp.float32)
+    fused = PatchEmbedding(fused=True)
+    plain = PatchEmbedding(fused=False)
+    variables = plain.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(
+        fused.init(jax.random.key(0), x, train=False)
+    )
+    got = fused.apply(variables, x, train=False)
+    want = plain.apply(variables, x, train=False)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
