@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def main(n_gallery=1600, n_query=400, T=460, C=96, n_classes=40, top_k=5, iters=10):
+def main(n_gallery=1600, n_query=400, T=460, C=96, n_classes=40, top_k=5,
+         iters=10, channel_chunk=None, stop_on_no_improvement=False):
     from cerebra.eval import greedy_channel_discovery
 
     rng = np.random.default_rng(0)
@@ -33,15 +34,17 @@ def main(n_gallery=1600, n_query=400, T=460, C=96, n_classes=40, top_k=5, iters=
     greedy_channel_discovery(
         gallery[:64], query[:32], g_lab[:64], q_lab[:32], top_k=top_k,
         n_classes=n_classes, max_channels=1, stop_on_no_improvement=False,
+        channel_chunk=channel_chunk,
     )
     greedy_channel_discovery(
         gallery, query, g_lab, q_lab, top_k=top_k, n_classes=n_classes,
-        max_channels=1, stop_on_no_improvement=False,
+        max_channels=1, stop_on_no_improvement=False, channel_chunk=channel_chunk,
     )
     t0 = time.perf_counter()
     result = greedy_channel_discovery(
         gallery, query, g_lab, q_lab, top_k=top_k, n_classes=n_classes,
-        max_channels=iters, stop_on_no_improvement=False,
+        max_channels=iters, stop_on_no_improvement=stop_on_no_improvement,
+        channel_chunk=channel_chunk,
     )
     dt = time.perf_counter() - t0
     # reference cost model: iters × C faiss builds+searches over growing dims
@@ -52,9 +55,10 @@ def main(n_gallery=1600, n_query=400, T=460, C=96, n_classes=40, top_k=5, iters=
                 "value": round(dt, 3),
                 "unit": "s",
                 "detail": {
-                    "iterations": iters, "channels": C,
+                    "iterations_run": len(result.per_iteration), "channels": C,
                     "gallery": n_gallery, "query": n_query,
                     "selected": result.selected[:5],
+                    "n_selected": len(result.selected),
                 },
             }
         )
@@ -63,4 +67,12 @@ def main(n_gallery=1600, n_query=400, T=460, C=96, n_classes=40, top_k=5, iters=
 
 
 if __name__ == "__main__":
-    main(iters=int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+    # `spampinato` = the FULL greedy sweep to convergence at the 128-channel
+    # Spampinato scale (TestRetrieval_DiscoverChannels.py:189-425: 80/20 of
+    # the ~12k-record corpus — the loop SURVEY §3.5 calls "hours on CPU").
+    # D is ~11.7 GB f32 → candidate recalls evaluated in 16-channel chunks.
+    if len(sys.argv) > 1 and sys.argv[1] == "spampinato":
+        main(n_gallery=9572, n_query=2393, T=460, C=128, iters=128,
+             channel_chunk=16, stop_on_no_improvement=True)
+    else:
+        main(iters=int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -57,4 +57,10 @@ def main(n_gallery=1600, n_query=400, dim=384, k=5, repeats=20):
 
 
 if __name__ == "__main__":
-    main()
+    # `large` = the round-4 scaling point: a 12k×12k gallery/query sweep at
+    # 512-d (≈ the reference's whole-Spampinato-corpus self-retrieval, far
+    # beyond its 1.6k faiss galleries) — VERDICT round 3 #5.
+    if len(sys.argv) > 1 and sys.argv[1] == "large":
+        main(n_gallery=12000, n_query=12000, dim=512, k=5, repeats=5)
+    else:
+        main(*(int(a) for a in sys.argv[1:]))

@@ -163,6 +163,11 @@ def best_window_sweep(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_classes"))
+def _chunk_recall(D_chunk, accum, g_lab, q_lab, k, n_classes):
+    return recall_for_distances(accum[None] + D_chunk, g_lab, q_lab, k, n_classes)
+
+
 def greedy_channel_discovery(
     gallery: np.ndarray,  # (Ng, T, C)
     query: np.ndarray,  # (Nq, T, C)
@@ -172,6 +177,7 @@ def greedy_channel_discovery(
     n_classes: Optional[int] = None,
     max_channels: Optional[int] = None,
     stop_on_no_improvement: bool = True,
+    channel_chunk: Optional[int] = None,
 ) -> ChannelDiscoveryResult:
     """The full greedy sweep (TestRetrieval_Perils_DiscoverChannels.py:
     130-353) as max_channels device calls over precomputed distances.
@@ -179,12 +185,20 @@ def greedy_channel_discovery(
     Stopping rule mirrors the reference (:331-351): keep the argmax channel
     each iteration; stop when the best candidate no longer improves on the
     best recall seen so far.
+
+    `channel_chunk` bounds peak memory at full Spampinato scale
+    (TestRetrieval_DiscoverChannels.py:189-425: 128 ch × ~9.6k gallery ×
+    ~2.4k query → D alone is ~11.7 GB f32): candidate recalls are evaluated
+    in channel chunks, so the transient accum+D tensor is (chunk, Nq, Ng)
+    instead of the full (C, Nq, Ng). None (default) evaluates all channels
+    in one call, identical to before.
     """
     C = gallery.shape[-1]
     if n_classes is None:
         n_classes = int(max(gallery_labels.max(), query_labels.max())) + 1
     if max_channels is None:
         max_channels = C
+    chunk = channel_chunk or C
     D = per_channel_distances(jnp.asarray(gallery), jnp.asarray(query))  # (C, Nq, Ng)
     g_lab = jnp.asarray(gallery_labels)
     q_lab = jnp.asarray(query_labels)
@@ -197,9 +211,13 @@ def greedy_channel_discovery(
     taken = np.zeros(C, dtype=bool)
 
     for _ in range(max_channels):
-        cand_d = accum[None] + D  # (C, Nq, Ng)
-        cand_recall = np.array(
-            recall_for_distances(cand_d, g_lab, q_lab, top_k, n_classes)
+        cand_recall = np.concatenate(
+            [
+                np.asarray(
+                    _chunk_recall(D[c0 : c0 + chunk], accum, g_lab, q_lab, top_k, n_classes)
+                )
+                for c0 in range(0, C, chunk)
+            ]
         )
         cand_recall[taken] = -np.inf
         per_iteration.append(cand_recall.copy())

@@ -233,3 +233,21 @@ def test_best_window_log_format(tmp_path):
            r"\{'Recall': [\d.]+, 'Precision': [\d.]+\}")
     for line in lines:
         assert re.fullmatch(pat, line), line
+
+
+def test_greedy_discovery_channel_chunk_equivalent():
+    """channel_chunk only bounds memory (full-Spampinato-scale sweeps); the
+    greedy trajectory must be identical to the all-channels evaluation."""
+    from cerebra.eval import greedy_channel_discovery
+
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(40, 16, 8)).astype(np.float32)
+    q = rng.normal(size=(20, 16, 8)).astype(np.float32)
+    gl = rng.integers(0, 4, 40).astype(np.int32)
+    ql = rng.integers(0, 4, 20).astype(np.int32)
+    a = greedy_channel_discovery(g, q, gl, ql, max_channels=4, stop_on_no_improvement=False)
+    b = greedy_channel_discovery(
+        g, q, gl, ql, max_channels=4, stop_on_no_improvement=False, channel_chunk=3
+    )
+    assert a.selected == b.selected
+    assert a.recalls == b.recalls
