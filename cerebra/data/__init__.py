@@ -20,3 +20,10 @@ from cerebra.data.synthetic import (  # noqa: F401
     make_synthetic_corpus,
 )
 from cerebra.data.sampling import random_split_indices, batch_iterator  # noqa: F401
+from cerebra.data.labelwise import (  # noqa: F401
+    load_data_label_wise,
+    prepare_eeg_data,
+    prepare_data_for_vis,
+    calc_mean,
+    calc_eeg_mean,
+)

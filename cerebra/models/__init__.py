@@ -11,7 +11,9 @@ Reference L3 inventory (SURVEY.md §2.4) rebuilt:
 - vit.VisionTransformer— dino/vision_transformer.py:134-254
 - barlow.BarlowTwins   — EEG-BarlowNetworks/net.py:11-42
 - layers               — layers.py:5-105 conv blocks
+- hub                  — dino/hubconf.py named pretrained registry
 """
 
 from cerebra.models.lstm import Model, InlineLSTM  # noqa: F401
 from cerebra.models.heads import DINOHead  # noqa: F401
+from cerebra.models import hub  # noqa: F401
