@@ -1137,6 +1137,59 @@ def exp_vitroof(batch=16, n_tokens=785, dim=384, heads=6, mlp=1536):
 EXPS["vitroof"] = exp_vitroof
 
 
+def exp_vitmlp(batch=16, n_tokens=785, dim=384, mlp=1536, tile=256):
+    """Ship/reject measurement for the fused MLP half-block kernel
+    (cerebra/models/pallas_vit_mlp.py) vs the XLA formula at main_dino
+    global shapes. The kernel removes the LN/fc1/GELU/fc2 intermediate HBM
+    streams (fwd) and the saved-activation streams (bwd, flash-style
+    recompute); the XLA path is what vit.Block compiles to today."""
+    from flax import linen as nn
+
+    from cerebra.models.pallas_vit_mlp import fused_mlp_residual
+
+    rng = np.random.default_rng(0)
+    M = batch * n_tokens
+    x = jnp.asarray(rng.normal(size=(M, dim)), jnp.bfloat16)
+    params = (
+        jnp.asarray(rng.normal(size=(dim,)) * 0.1 + 1.0, jnp.float32),
+        jnp.asarray(rng.normal(size=(dim,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(dim, mlp)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(mlp,)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(mlp, dim)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(dim,)) * 0.05, jnp.float32),
+    )
+
+    def xla_ref(x, g, b, w1, b1, w2, b2):
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(-1, keepdims=True)
+        xc = x32 - mu
+        xn = xc * jax.lax.rsqrt((xc * xc).mean(-1, keepdims=True) + 1e-6)
+        y1 = (xn * g + b).astype(x.dtype)
+        h = (y1 @ w1.astype(x.dtype)).astype(jnp.float32) + b1
+        gh = nn.gelu(h, approximate=False).astype(x.dtype)
+        return (x32 + (gh @ w2.astype(x.dtype)).astype(jnp.float32) + b2).astype(x.dtype)
+
+    gf = 2 * 2 * M * dim * mlp / 1e9  # two matmuls fwd
+
+    def s(t):
+        return jnp.sum(t.astype(jnp.float32))
+
+    for tag, fn in (("fused kernel", lambda *a: fused_mlp_residual(*a, tile)),
+                    ("XLA", xla_ref)):
+        f = jax.jit(lambda *a, _fn=fn: s(_fn(*a)))
+        dt = timeit(f, x, *params)
+        gr = jax.jit(jax.grad(lambda *a, _fn=fn: s(_fn(*a)), argnums=tuple(range(7))))
+        dtg = timeit(lambda *a: jax.tree.leaves(gr(*a))[-1], x, *params)
+        print(
+            f"[vitmlp] {tag:12s} fwd {dt*1e3:7.3f} ms ({gf/dt/1e3:6.1f} TF/s) | "
+            f"fwd+bwd {dtg*1e3:7.3f} ms ({3*gf/dtg/1e3:6.1f} TF/s at 3x)",
+            flush=True,
+        )
+
+
+EXPS["vitmlp"] = exp_vitmlp
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)

@@ -22,6 +22,7 @@ run headline python bench.py
 
 # 1) ViT roofline attribution (decides the fused-block question)
 run vitroof python -m benchmarks.kernel_lab vitroof
+run vitmlp python -m benchmarks.kernel_lab vitmlp
 
 # 2) conformer: fused patch embed, parity batch + throughput batches
 run conformer_b72 python -m benchmarks.pipeline_bench conformer 72

@@ -33,6 +33,10 @@ def main(argv=None):
                              "greedy set search (TestRetrieval_DiscoverChannels "
                              "'best ts' mode)")
     parser.add_argument("--window_width", type=int, default=1)
+    parser.add_argument("--channel_chunk", type=int, default=0,
+                        help="evaluate candidate recalls in channel chunks to bound "
+                             "memory (full Spampinato scale: D is ~11.7 GB; use 16). "
+                             "0 = all channels in one call")
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     os.makedirs(FLAGS.log_dir, exist_ok=True)
@@ -101,6 +105,7 @@ def greedy_channel_discovery_entry(FLAGS, corpus, eeg, train_idx, test_idx):
         top_k=FLAGS.topK,
         n_classes=corpus.catalog.n_classes,
         max_channels=FLAGS.max_channels or None,
+        channel_chunk=FLAGS.channel_chunk or None,
     )
     dt = time.perf_counter() - t0
     names = _channel_names(FLAGS, corpus.n_channels)

@@ -1,0 +1,92 @@
+"""Parity tests for the fused ViT MLP half-block kernel
+(cerebra/models/pallas_vit_mlp.py) against the XLA formula used by
+cerebra.models.vit.Block — interpret mode on CPU (Mosaic-lowering checks
+happen on hardware; see CLAUDE.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from cerebra.models.pallas_vit_mlp import fused_mlp_residual
+
+
+def _ref(x, g, b, w1, b1, w2, b2):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    xc = x32 - mu
+    xn = xc * jax.lax.rsqrt((xc * xc).mean(-1, keepdims=True) + 1e-6)
+    y1 = (xn * g + b).astype(x.dtype)
+    h = (y1 @ w1.astype(x.dtype)).astype(jnp.float32) + b1
+    gh = nn.gelu(h, approximate=False).astype(x.dtype)
+    out = (gh @ w2.astype(x.dtype)).astype(jnp.float32) + b2
+    return (x32 + out).astype(x.dtype)
+
+
+def _params(rng, D, F):
+    return (
+        jnp.asarray(rng.normal(size=(D,)) * 0.1 + 1.0, jnp.float32),
+        jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(D, F)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(F,)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(F, D)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(D,)) * 0.05, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("M", [64, 70])  # exact tile multiple + padded tail
+def test_fused_mlp_forward_matches_xla(M, rng):
+    D, F = 64, 256
+    x = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    params = _params(rng, D, F)
+    out = fused_mlp_residual(x, *params, 32)
+    np.testing.assert_allclose(out, _ref(x, *params), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mlp_grads_match_xla(rng):
+    D, F, M = 64, 256, 70
+    x = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    params = _params(rng, D, F)
+
+    def loss_k(*a):
+        return jnp.sum(jnp.sin(fused_mlp_residual(*a, 32)))
+
+    def loss_r(*a):
+        return jnp.sum(jnp.sin(_ref(*a)))
+
+    gk = jax.grad(loss_k, argnums=tuple(range(7)))(x, *params)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(x, *params)
+    for a, want in zip(gk, gr):
+        scale = float(jnp.abs(want).max()) or 1.0
+        np.testing.assert_allclose(a, want, rtol=5e-5, atol=5e-6 * scale)
+
+
+def test_fused_mlp_bf16_close_to_f32_truth(rng):
+    """bf16 stream: the kernel must stay within bf16 resolution of the f32
+    reference (its LN stats and accumulations are f32)."""
+    D, F, M = 128, 256, 96
+    x32 = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    params = _params(rng, D, F)
+    want = _ref(x32, *params)
+    got = fused_mlp_residual(x32.astype(jnp.bfloat16), *params, 32)
+    assert float(jnp.abs(got.astype(jnp.float32) - want).max()) < 0.05 * float(
+        jnp.abs(want).max()
+    )
+
+
+def test_fused_mlp_padded_rows_do_not_pollute_grads(rng):
+    """Zero-padded tail rows must contribute exactly zero to every weight
+    gradient: compare an M=40 (tile 32 → 24 pad rows) run against the same
+    rows evaluated at tile 8 (no padding)."""
+    D, F, M = 64, 128, 40
+    x = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    params = _params(rng, D, F)
+
+    def loss(tile):
+        return lambda *a: jnp.sum(fused_mlp_residual(*a, tile) ** 2)
+
+    g_pad = jax.grad(loss(32), argnums=(3, 5))(x, *params)
+    g_exact = jax.grad(loss(8), argnums=(3, 5))(x, *params)
+    for a, want in zip(g_pad, g_exact):
+        np.testing.assert_allclose(a, want, rtol=1e-5, atol=1e-6)
