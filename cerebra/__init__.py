@@ -81,4 +81,30 @@ def _enable_persistent_compile_cache() -> None:
         pass
 
 
+def _honor_cpu_platform_env() -> None:
+    """Restore `JAX_PLATFORMS=cpu` semantics under the axon site plugin.
+
+    The environment's sitecustomize registers the tunneled TPU backend at
+    interpreter start and overwrites the jax_platforms CONFIG to
+    "axon,cpu" (axon/register/pjrt.py), so the standard env var alone no
+    longer selects CPU — any CLI that touches jnp before pinning the config
+    initializes the remote backend, which HANGS when the tunnel is down
+    (round-4 regression found on cli.discover_channels; CLAUDE.md "two
+    runtimes" rule). Re-pin at package import — every CLI imports cerebra
+    before its first jnp call — but ONLY when the env asks for cpu-first,
+    leaving the plugin's own TPU selection untouched otherwise."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if not plat or plat.split(",")[0].strip().lower() != "cpu":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 _enable_persistent_compile_cache()
+_honor_cpu_platform_env()

@@ -152,3 +152,24 @@ def test_bench_main_emits_diagnostic_json_on_backend_failure(monkeypatch, capsys
     assert payload["value"] is None and payload["vs_baseline"] is None
     assert "tunnel unavailable" in payload["error"]
     assert payload["metric"] == "eeg_windows_per_sec_per_chip_filter_lstm_fwd_bwd"
+
+
+@pytest.mark.slow
+def test_cpu_env_cli_runs_under_dead_tunnel(hang_env, monkeypatch):
+    """JAX_PLATFORMS=cpu must select CPU for EVERY CLI even though the site
+    plugin overwrote the jax_platforms config at interpreter start — CLIs
+    without an explicit init_distributed() pin used to initialize the
+    remote backend on their first jnp call and hang when the tunnel is down
+    (cerebra/__init__._honor_cpu_platform_env regression)."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "cerebra.cli.discover_channels", "--synthetic",
+         "--max_channels", "1", "--synthetic_classes", "2",
+         "--synthetic_per_class", "4", "--synthetic_channels", "4",
+         "--synthetic_samples", "16", "--log_dir", "/tmp/cerebra_test_ch"],
+        env=dict(os.environ), cwd=repo, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    assert "greedy sweep over" in proc.stdout
