@@ -45,5 +45,7 @@ run conformer_cli python -m cerebra.cli.conformer_train --synthetic --n_epochs 2
 # 6) main_dino reference-scale sanity (post ViT-importer refactor; no
 #    compute-path change expected — confirms 84.8 w/s baseline stands)
 run main_dino_b8 python -m benchmarks.pipeline_bench main_dino 8
+# 7) fused MLP half-block variant (ship/reject at recipe level)
+run main_dino_fusedmlp python -m benchmarks.pipeline_bench main_dino 8 0 0 1
 
 echo "ALL DONE — logs in $OUT"

@@ -116,6 +116,33 @@ def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Ar
     return out[:, :, :N, :]
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense-shaped (kernel, bias) WITHOUT applying the layer — same
+    names/shapes/initializers, so the fused-kernel path keeps the exact
+    param tree (and torch-import mapping) of the XLA path."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init, (self.in_dim, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
+        return scale, bias
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -127,6 +154,10 @@ class Block(nn.Module):
     layer_scale_init: float = 1e-5
     dtype: Optional[Any] = None
     use_flash: bool = False
+    # Fused Pallas MLP half-block (LN2→fc1→GELU→fc2→residual in one kernel
+    # pair, recompute backward — cerebra.models.pallas_vit_mlp). Identical
+    # param tree; engaged only when drop_path is inactive.
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(
@@ -147,8 +178,28 @@ class Block(nn.Module):
                 "ls1_gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
             )
         x = x + self._drop_path(y, train)
+        F = int(self.dim * self.mlp_ratio)
+        if self.use_fused_mlp and (self.drop_path == 0.0 or not train):
+            from cerebra.models.pallas_vit_mlp import fused_mlp_residual
+
+            g, b = _LayerNormParams(self.dim, name="norm2")()
+            w1, b1 = _DenseParams(self.dim, F, name="mlp_fc1")()
+            w2, b2 = _DenseParams(F, self.dim, name="mlp_fc2")()
+            if self.layer_scale:
+                # fold the residual-branch gamma into fc2 (the kernel adds
+                # the residual internally): fc2(y)·ls2 = y @ (w2·ls2) + b2·ls2
+                ls2 = self.param(
+                    "ls2_gamma", nn.initializers.constant(self.layer_scale_init),
+                    (self.dim,),
+                )
+                w2 = w2 * ls2[None, :]
+                b2 = b2 * ls2
+            B, N, D = x.shape
+            comp = x.astype(self.dtype) if self.dtype is not None else x
+            out = fused_mlp_residual(comp.reshape(B * N, D), g, b, w1, b1, w2, b2)
+            return out.reshape(B, N, D)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.Dense(F, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)  # torch nn.GELU default (exact erf)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         if self.layer_scale:
@@ -177,6 +228,7 @@ class VisionTransformer(nn.Module):
     layer_scale: bool = False  # True = DINOv2-style blocks
     dtype: Optional[Any] = None
     use_flash: bool = False  # Pallas flash attention on TPU (globals only)
+    use_fused_mlp: bool = False  # fused Pallas MLP half-block (pallas_vit_mlp)
     # jax.checkpoint each block (save only matmul outputs): trades GELU/LN/
     # softmax recompute for the backward's saved-activation HBM streams.
     remat: bool = False
@@ -221,7 +273,8 @@ class VisionTransformer(nn.Module):
             block = block_cls(
                 self.embed_dim, self.num_heads, self.mlp_ratio, float(dpr[i]),
                 layer_scale=self.layer_scale, dtype=self.dtype,
-                use_flash=self.use_flash, name=f"block_{i}",
+                use_flash=self.use_flash, use_fused_mlp=self.use_fused_mlp,
+                name=f"block_{i}",
             )
             if return_attention_of_last_block and i == self.depth - 1:
                 # positional: remat's static_argnums can't see kwargs

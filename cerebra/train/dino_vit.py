@@ -65,13 +65,15 @@ class DinoVitConfig:
     use_flash: bool = False
     # jax.checkpoint each ViT block (save matmul outputs only).
     remat: bool = False
+    # fused Pallas MLP half-block in every ViT block (pallas_vit_mlp).
+    use_fused_mlp: bool = False
 
 
 def build_vit(cfg: DinoVitConfig) -> VisionTransformer:
     ctor = {"vit_tiny": vit_tiny, "vit_small": vit_small, "vit_base": vit_base}[cfg.arch]
     return ctor(
         patch_size=cfg.patch_size, img_size=cfg.global_size, dtype=cfg.dtype,
-        use_flash=cfg.use_flash, remat=cfg.remat,
+        use_flash=cfg.use_flash, remat=cfg.remat, use_fused_mlp=cfg.use_fused_mlp,
     )
 
 

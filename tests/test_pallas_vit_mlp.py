@@ -90,3 +90,38 @@ def test_fused_mlp_padded_rows_do_not_pollute_grads(rng):
     g_exact = jax.grad(loss(8), argnums=(3, 5))(x, *params)
     for a, want in zip(g_pad, g_exact):
         np.testing.assert_allclose(a, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("layer_scale", [False, True])
+def test_block_fused_mlp_matches_plain(layer_scale, rng):
+    """Block(use_fused_mlp=True) must keep the exact param tree and match
+    the plain XLA block in value AND grads (incl. the folded ls2_gamma on
+    the DINOv2 variant)."""
+    from cerebra.models.vit import Block
+
+    D, H, B, N = 64, 2, 2, 40
+    x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    plain = Block(D, H, layer_scale=layer_scale)
+    fused = Block(D, H, layer_scale=layer_scale, use_fused_mlp=True)
+    params = plain.init(jax.random.key(0), x, False, False)["params"]
+    p2 = fused.init(jax.random.key(0), x, False, False)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+    want = plain.apply({"params": params}, x, False, False)
+    got = fused.apply({"params": params}, x, False, False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def loss(mod):
+        return lambda p: jnp.sum(mod.apply({"params": p}, x, False, False) ** 2)
+
+    g_want = jax.grad(loss(plain))(params)
+    g_got = jax.grad(loss(fused))(params)
+    flat_w = jax.tree_util.tree_leaves_with_path(g_want)
+    flat_g = jax.tree_util.tree_leaves_with_path(g_got)
+    for (pw, w), (pg, g) in zip(flat_w, flat_g):
+        assert pw == pg
+        scale = float(jnp.abs(w).max()) or 1.0
+        np.testing.assert_allclose(
+            g, w, rtol=5e-4, atol=5e-5 * scale,
+            err_msg=jax.tree_util.keystr(pw),
+        )
