@@ -57,7 +57,7 @@ def hang_env(tmp_path, monkeypatch):
 
 def test_probe_times_out_on_hanging_backend(hang_env):
     t0 = time.perf_counter()
-    assert graft._probe_real_devices(timeout_s=8.0) is None
+    assert graft._probe_real_devices(timeout_s=5.0) is None
     assert time.perf_counter() - t0 < 30.0
 
 
@@ -126,7 +126,7 @@ def test_dryrun_end_to_end_with_hanging_backend(hang_env, monkeypatch):
 def test_bench_wait_for_backend_raises_after_bounded_retries(hang_env):
     t0 = time.perf_counter()
     with pytest.raises(RuntimeError, match="unavailable"):
-        bench.wait_for_backend(attempts=2, probe_timeout_s=5.0, backoff_s=0.5)
+        bench.wait_for_backend(attempts=2, probe_timeout_s=3.0, backoff_s=0.2)
     assert time.perf_counter() - t0 < 60.0
 
 

@@ -196,6 +196,7 @@ def test_hub_registry_names_match_reference_hubconf():
     assert len(hub.LINEAR_URLS) == 5
 
 
+@pytest.mark.slow  # one 12-block ViT init; registry/loader tests stay fast
 def test_hub_offline_fallback_returns_random_weights(monkeypatch, capsys):
     """Zero-egress env + no cache → the reference's own 'random weights'
     message (utils/utils.py:109) and a working random init."""

@@ -92,6 +92,8 @@ def test_fused_mlp_padded_rows_do_not_pollute_grads(rng):
         np.testing.assert_allclose(a, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # two full Block inits + grads; kernel-level parity above
+# stays in the fast suite (the 5-minute budget, CLAUDE.md)
 @pytest.mark.parametrize("layer_scale", [False, True])
 def test_block_fused_mlp_matches_plain(layer_scale, rng):
     """Block(use_fused_mlp=True) must keep the exact param tree and match
