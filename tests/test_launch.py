@@ -23,6 +23,7 @@ WORKER = textwrap.dedent(
 )
 
 
+@pytest.mark.slow  # spawns sleeping child processes; ~6 s of wall waits
 def test_launch_kills_survivors_on_first_failure(tmp_path):
     """torchrun contract: one rank dying must not leave the others hung in
     the rendezvous — the launcher terminates them and propagates the code."""

@@ -113,6 +113,7 @@ def test_vit_forward_and_attention():
     assert len(inter) == 2 and inter[-1].shape == (2, n_tokens, 192)
 
 
+@pytest.mark.slow  # off-by-default memory lever; double ViT compile ~15 s
 def test_vit_remat_matches_plain():
     """remat=True (jax.checkpoint per block, matmul-outputs-saveable policy)
     must be a pure memory/scheduling change: values AND grads match the

@@ -119,6 +119,8 @@ def test_torch_adamw_loads_our_optimizer_slot(tmp_path):
     optimizer.step()
 
 
+@pytest.mark.slow  # edge-case import; core roundtrip covered by
+# test_export_import_dino_pth_roundtrips_optimizer in the fast suite
 def test_import_tolerates_lazy_torch_state_and_unfrozen_gain(tmp_path):
     """Two real reference checkpoint shapes: (1) params whose grads were
     cancelled all run (freeze_last_layer) have ids but NO state entry —

@@ -216,6 +216,17 @@ def test_melspectrogram_shapes_and_energy(rng):
     assert np.all(np.asarray(m) >= -1e-6)
 
 
+def test_image_augs_smoke(rng):
+    """Fast-suite smoke: one aug compile, shape + finiteness only (the full
+    property checks compile all eight augs and live in the slow suite)."""
+    from cerebra.signal.image_aug import dino_global_crop
+
+    img = jnp.asarray(rng.uniform(0, 1, size=(64, 64, 3)).astype(np.float32))
+    g = dino_global_crop(jax.random.key(5), img, 32)
+    assert g.shape == (32, 32, 3) and np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.slow  # compiles all 8 aug functions (~10 s); smoke above stays fast
 def test_image_augs(rng):
     from cerebra.signal.image_aug import (
         color_jitter,
