@@ -1190,6 +1190,72 @@ def exp_vitmlp(batch=16, n_tokens=785, dim=384, mlp=1536, tile=256):
 EXPS["vitmlp"] = exp_vitmlp
 
 
+def exp_vitattn(batch=16, n_tokens=785, dim=384, heads=6, pad=16):
+    """Ship/reject measurement for the fused attention half-block kernel
+    (cerebra/models/pallas_vit_attn.py) vs the XLA formula at main_dino
+    global shapes. The kernel keeps the (N, N) per-head probability
+    matrices in VMEM and fuses LN1/QKV/proj/residual around them (vs XLA's
+    LN + qkv dot + relayouts + softmax streams + proj dot). ``pad``
+    sublane-pads 785 → 800; run with pad=128 if Mosaic rejects the %16
+    block (785 → 896, +14% rows)."""
+    rng = np.random.default_rng(0)
+    dh = dim // heads
+    x = jnp.asarray(rng.normal(size=(batch, n_tokens, dim)), jnp.bfloat16)
+    params = (
+        jnp.asarray(rng.normal(size=(dim,)) * 0.1 + 1.0, jnp.float32),
+        jnp.asarray(rng.normal(size=(dim,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(dim, 3 * dim)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(3 * dim,)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(dim, dim)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(dim,)) * 0.05, jnp.float32),
+    )
+
+    def xla_ref(x, g, b, wqkv, bqkv, wproj, bproj):
+        B, N, D = x.shape
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(-1, keepdims=True)
+        xc = x32 - mu
+        xn = xc * jax.lax.rsqrt((xc * xc).mean(-1, keepdims=True) + 1e-6)
+        y = (xn * g + b).astype(x.dtype)
+        qkv = (y @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)).reshape(
+            B, N, 3, heads, dh
+        )
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = jax.nn.softmax((q * dh**-0.5) @ jnp.swapaxes(k, -2, -1), axis=-1)
+        o = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
+        return (x32 + (o @ wproj.astype(x.dtype)).astype(jnp.float32) + bproj).astype(
+            x.dtype
+        )
+
+    from cerebra.models.pallas_vit_attn import fused_attn_residual
+
+    BT = batch * n_tokens
+    gf = (2 * BT * dim * 4 * dim + 2 * 2 * batch * heads * n_tokens**2 * dh) / 1e9
+
+    def s(t):
+        return jnp.sum(t.astype(jnp.float32))
+
+    for tag, fn in (
+        ("fused kernel", lambda *a: fused_attn_residual(*a, heads, pad)),
+        ("XLA", xla_ref),
+    ):
+        f = jax.jit(lambda *a, _fn=fn: s(_fn(*a)))
+        dt = timeit(f, x, *params)
+        gr = jax.jit(jax.grad(lambda *a, _fn=fn: s(_fn(*a)), argnums=tuple(range(7))))
+        dtg = timeit(lambda *a: jax.tree.leaves(gr(*a))[-1], x, *params)
+        print(
+            f"[vitattn] {tag:12s} fwd {dt*1e3:7.3f} ms ({gf/dt/1e3:6.1f} TF/s) | "
+            f"fwd+bwd {dtg*1e3:7.3f} ms ({3*gf/dtg/1e3:6.1f} TF/s at 3x)",
+            flush=True,
+        )
+    # local-crop shape: is the fused path safe to engage on N=145 too?
+    if n_tokens == 785:
+        exp_vitattn(batch=32, n_tokens=145, dim=dim, heads=heads, pad=pad)
+
+
+EXPS["vitattn"] = exp_vitattn
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)

@@ -23,6 +23,7 @@ run headline python bench.py
 # 1) ViT roofline attribution (decides the fused-block question)
 run vitroof python -m benchmarks.kernel_lab vitroof
 run vitmlp python -m benchmarks.kernel_lab vitmlp
+run vitattn python -m benchmarks.kernel_lab vitattn
 
 # 2) conformer: fused patch embed, parity batch + throughput batches
 run conformer_b72 python -m benchmarks.pipeline_bench conformer 72
@@ -45,7 +46,10 @@ run conformer_cli python -m cerebra.cli.conformer_train --synthetic --n_epochs 2
 # 6) main_dino reference-scale sanity (post ViT-importer refactor; no
 #    compute-path change expected — confirms 84.8 w/s baseline stands)
 run main_dino_b8 python -m benchmarks.pipeline_bench main_dino 8
-# 7) fused MLP half-block variant (ship/reject at recipe level)
+# 7) fused half-block variants (ship/reject at recipe level):
+#    args = batch flash remat fused_mlp fused_attn
 run main_dino_fusedmlp python -m benchmarks.pipeline_bench main_dino 8 0 0 1
+run main_dino_fusedattn python -m benchmarks.pipeline_bench main_dino 8 0 0 0 1
+run main_dino_fusedblock python -m benchmarks.pipeline_bench main_dino 8 0 0 1 1
 
 echo "ALL DONE — logs in $OUT"

@@ -52,6 +52,8 @@ def main(argv=None):
     parser.add_argument("--remat", type=bool_flag, default=False)
     parser.add_argument("--use_fused_mlp", type=bool_flag, default=False,
                         help="fused Pallas MLP half-block in every ViT block")
+    parser.add_argument("--use_fused_attn", type=bool_flag, default=False,
+                        help="fused Pallas attention half-block in every ViT block")
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     init_distributed()
@@ -72,7 +74,7 @@ def main(argv=None):
         norm_last_layer=FLAGS.norm_last_layer, use_bn_in_head=FLAGS.use_bn_in_head,
         seed=FLAGS.seed, dtype=jnp.bfloat16 if FLAGS.use_bf16 else None,
         use_flash=FLAGS.use_flash, remat=FLAGS.remat,
-        use_fused_mlp=FLAGS.use_fused_mlp,
+        use_fused_mlp=FLAGS.use_fused_mlp, use_fused_attn=FLAGS.use_fused_attn,
     )
     # stimulus images: not bundled — locals fall back to EEG-image crops
     state, hist = dino_vit_train(

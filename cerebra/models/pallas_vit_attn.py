@@ -1,0 +1,306 @@
+"""Fused ViT attention half-block — one Pallas kernel pair for
+``x + proj(MHA(LN(x)))``.
+
+The other half of the transformer-block megakernel (reference block:
+dino/vision_transformer.py:95-132; the MLP half lives in
+cerebra.models.pallas_vit_mlp). XLA runs this section as LN + qkv dot +
+two (B,N,3,H,d)↔(B,H,N,d) relayouts + per-head score/softmax/AV streams +
+proj dot, each intermediate round-tripping HBM; here one kernel reads a
+(N, D) sequence tile once and writes the residual-added output once, with
+the (N, N) per-head probability matrices living only in VMEM (flash-style,
+but with LN/QKV/proj fused in too).
+
+Layout strategy (Mosaic-safe by construction): the grid is one cell per
+sequence (batch element); heads are an UNROLLED python loop inside the
+cell over weights pre-split on the host into (H, D, dh) / (H, dh, D)
+stacks, so every in-kernel matmul is a clean 2-D full-block contraction —
+no sub-128 lane slicing of the fused qkv matrix. The attention scale is
+folded into the q weights on the host (q·s = x@(Wq·s) + bq·s), so the
+kernel never handles it and the backward just re-scales dWq/dbq.
+
+Backward is flash-style RECOMPUTE: the forward saves nothing; the backward
+re-derives LN/q/k/v/softmax per head inside VMEM and accumulates
+dWq/dWk/dWv/db*/dWp/dbp/dγ/dβ into VMEM-resident f32 blocks with constant
+index maps (grid is sequential on TPU). dx streams out per row tile.
+
+Sequence padding (N → Np, multiple of ``pad``): padded kv columns are
+masked to -1e30 before the softmax (compile-time iota mask — N is static),
+so real queries never attend to them; padded query rows produce garbage
+that callers slice away, and their zero cotangents contribute exactly zero
+to every weight gradient (verified in tests/test_pallas_vit_attn.py).
+
+Numerics: LN statistics, softmax, and all gradient accumulation in f32;
+matmuls take x.dtype operands with f32 accumulation (flax
+Dense(dtype=bf16) semantics). Parity with the XLA Attention half is pinned
+in tests/test_pallas_vit_attn.py; the ship/reject measurement lives in
+benchmarks/kernel_lab.py::exp_vitattn.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from cerebra.models.pallas_vit_mlp import (
+    _LN_EPS,
+    _contract_rows,
+    _interpret,
+    _layernorm_f32,
+    _matmul,
+    _matmul_bt,
+    _whole_spec,
+)
+
+_MASK_VAL = -1e30
+
+
+def _ln_affine(x_ref, g_ref, b_ref):
+    """f32 LN + affine of the row tile, returned in (f32, x.dtype) forms."""
+    x = x_ref[...].astype(jnp.float32)
+    xn = _layernorm_f32(x)
+    y32 = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    return x, xn, y32.astype(x_ref.dtype)
+
+
+def _softmax_masked(s, n_real):
+    """Row softmax of f32 scores with kv columns >= n_real masked out."""
+    if n_real < s.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_real, s, _MASK_VAL)
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _fwd_kernel(
+    x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    wp_ref, bp_ref, out_ref, *, n_real: int, n_heads: int,
+):
+    x, _, y = _ln_affine(x_ref, g_ref, b_ref)
+    dt = x_ref.dtype
+    acc = bp_ref[...].astype(jnp.float32)  # (1, D) broadcasts over rows
+    out = None
+    for h in range(n_heads):
+        q = (_matmul(y, wq_ref[h]) + bq_ref[h].astype(jnp.float32)).astype(dt)
+        k = (_matmul(y, wk_ref[h]) + bk_ref[h].astype(jnp.float32)).astype(dt)
+        v = (_matmul(y, wv_ref[h]) + bv_ref[h].astype(jnp.float32)).astype(dt)
+        p = _softmax_masked(_matmul_bt(q, k), n_real).astype(dt)
+        o = _matmul(p, v).astype(dt)
+        contrib = _matmul(o, wp_ref[h])
+        out = contrib if out is None else out + contrib
+    out_ref[...] = (x + out + acc).astype(out_ref.dtype)
+
+
+def _bwd_kernel(
+    x_ref, dout_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+    bv_ref, wp_ref,
+    dx_ref, dg_ref, db_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref,
+    dbv_ref, dwp_ref, dbp_ref, *, n_real: int, n_heads: int,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in (
+            dg_ref, db_ref, dwq_ref, dwk_ref, dwv_ref,
+            dbq_ref, dbk_ref, dbv_ref, dwp_ref, dbp_ref,
+        ):
+            r[...] = jnp.zeros_like(r)
+
+    x, xn, y = _ln_affine(x_ref, g_ref, b_ref)
+    dt = x_ref.dtype
+    dout = dout_ref[...].astype(jnp.float32)
+    dout_n = dout.astype(dt)
+    dbp_ref[...] += jnp.sum(dout, axis=0, keepdims=True)
+
+    dy = None
+    for h in range(n_heads):
+        # recompute the head's forward in VMEM
+        q32 = _matmul(y, wq_ref[h]) + bq_ref[h].astype(jnp.float32)
+        k32 = _matmul(y, wk_ref[h]) + bk_ref[h].astype(jnp.float32)
+        v = (_matmul(y, wv_ref[h]) + bv_ref[h].astype(jnp.float32)).astype(dt)
+        q, k = q32.astype(dt), k32.astype(dt)
+        p = _softmax_masked(_matmul_bt(q, k), n_real)
+        pb = p.astype(dt)
+        o = _matmul(pb, v).astype(dt)
+        # proj
+        dwp_ref[h] += _contract_rows(o, dout_n)
+        do = _matmul_bt(dout_n, wp_ref[h]).astype(dt)  # (Np, dh)
+        # attention
+        dp = _matmul_bt(do, v)  # (Np, Np) f32
+        dv = _contract_rows(pb, do)  # (Np, dh) f32
+        ds = (p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))).astype(dt)
+        dq = _matmul(ds, k)  # (Np, dh) f32
+        dk = _contract_rows(ds, q)  # s = q kᵀ ⇒ dk = dsᵀ q
+        dqb, dkb, dvb = dq.astype(dt), dk.astype(dt), dv.astype(dt)
+        # qkv weights
+        dwq_ref[h] += _contract_rows(y, dqb)
+        dwk_ref[h] += _contract_rows(y, dkb)
+        dwv_ref[h] += _contract_rows(y, dvb)
+        dbq_ref[h] += jnp.sum(dq, axis=0, keepdims=True)
+        dbk_ref[h] += jnp.sum(dk, axis=0, keepdims=True)
+        dbv_ref[h] += jnp.sum(dv, axis=0, keepdims=True)
+        contrib = (
+            _matmul_bt(dqb, wq_ref[h])
+            + _matmul_bt(dkb, wk_ref[h])
+            + _matmul_bt(dvb, wv_ref[h])
+        )
+        dy = contrib if dy is None else dy + contrib
+
+    # LN affine + core backward (identical formulas to pallas_vit_mlp)
+    dg_ref[...] += jnp.sum(dy * xn, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dxn = dy * g_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(dxn, axis=1, keepdims=True)
+    m2 = jnp.mean(dxn * xn, axis=1, keepdims=True)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    rstd = jax.lax.rsqrt(jnp.mean(xc * xc, axis=1, keepdims=True) + _LN_EPS)
+    dx_ln = rstd * (dxn - m1 - xn * m2)
+    dx_ref[...] = (dout + dx_ln).astype(dx_ref.dtype)
+
+
+def _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, dtype):
+    """Host-side prep: head-split stacks in the kernel's layouts, the
+    attention scale folded into the q slices, everything cast to the
+    compute dtype. qkv feature order is i·D + h·dh + c (the reference's
+    reshape(B,N,3,H,dh) — vision_transformer.py:74-77)."""
+    D = wqkv.shape[0]
+    dh = D // num_heads
+    scale = dh ** -0.5
+    cast = lambda a: a.astype(dtype)
+
+    def w_stack(sl, s=1.0):
+        return cast((wqkv[:, sl] * s).reshape(D, num_heads, dh).transpose(1, 0, 2))
+
+    def b_stack(sl, s=1.0):
+        return cast((bqkv[sl] * s).reshape(num_heads, 1, dh))
+
+    wq = w_stack(slice(0, D), scale)
+    wk = w_stack(slice(D, 2 * D))
+    wv = w_stack(slice(2 * D, 3 * D))
+    bq = b_stack(slice(0, D), scale)
+    bk = b_stack(slice(D, 2 * D))
+    bv = b_stack(slice(2 * D, 3 * D))
+    wp = cast(wproj.reshape(num_heads, dh, D))
+    return (
+        cast(g).reshape(1, -1), cast(b).reshape(1, -1),
+        wq, wk, wv, bq, bk, bv, wp, cast(bproj).reshape(1, -1),
+    )
+
+
+def _pad_seq(x, pad):
+    B, N, D = x.shape
+    n_pad = -N % pad
+    if n_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+    return x.reshape(B * (N + n_pad), D), N + n_pad
+
+
+def _seq_spec(width, np_):
+    return pl.BlockSpec((np_, width), lambda i: (i, 0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_attn_residual(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad=16):
+    """x + proj(MHA(layernorm(x)·g + b)) over (B, N, D) sequences.
+
+    Params keep their caller dtype (typically f32 flax params); every MXU
+    matmul runs in x.dtype like flax Dense(dtype=...). ``pad`` is the
+    sequence-padding granularity (block sublane multiple)."""
+    out, _ = _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad)
+    return out
+
+
+def _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad):
+    B, N, D = x.shape
+    dh = D // num_heads
+    xp, np_ = _pad_seq(x, pad)
+    prepped = _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, x.dtype)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_real=N, n_heads=num_heads),
+        grid=(B,),
+        in_specs=[
+            _seq_spec(D, np_), _whole_spec((1, D)), _whole_spec((1, D)),
+            _whole_spec((num_heads, D, dh)), _whole_spec((num_heads, D, dh)),
+            _whole_spec((num_heads, D, dh)),
+            _whole_spec((num_heads, 1, dh)), _whole_spec((num_heads, 1, dh)),
+            _whole_spec((num_heads, 1, dh)),
+            _whole_spec((num_heads, dh, D)), _whole_spec((1, D)),
+        ],
+        out_specs=_seq_spec(D, np_),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        interpret=_interpret(),
+    )(xp, *prepped)
+    out = out.reshape(B, np_, D)[:, :N]
+    return out, (x, g, b, wqkv, bqkv, wproj, bproj)
+
+
+def _bwd(num_heads, pad, res, dout):
+    x, g, b, wqkv, bqkv, wproj, bproj = res
+    B, N, D = x.shape
+    dh = D // num_heads
+    scale = dh ** -0.5
+    xp, np_ = _pad_seq(x, pad)
+    dp_, _ = _pad_seq(dout.astype(x.dtype), pad)
+    prepped = _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, x.dtype)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_real=N, n_heads=num_heads),
+        grid=(B,),
+        in_specs=[
+            _seq_spec(D, np_), _seq_spec(D, np_),
+            _whole_spec((1, D)), _whole_spec((1, D)),
+            _whole_spec((num_heads, D, dh)), _whole_spec((num_heads, D, dh)),
+            _whole_spec((num_heads, D, dh)),
+            _whole_spec((num_heads, 1, dh)), _whole_spec((num_heads, 1, dh)),
+            _whole_spec((num_heads, 1, dh)),
+            _whole_spec((num_heads, dh, D)),
+        ],
+        out_specs=[
+            _seq_spec(D, np_),
+            _whole_spec((1, D)), _whole_spec((1, D)),
+            _whole_spec((num_heads, D, dh)), _whole_spec((num_heads, D, dh)),
+            _whole_spec((num_heads, D, dh)),
+            _whole_spec((num_heads, 1, dh)), _whole_spec((num_heads, 1, dh)),
+            _whole_spec((num_heads, 1, dh)),
+            _whole_spec((num_heads, dh, D)), _whole_spec((1, D)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(xp.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, D), f32), jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((num_heads, D, dh), f32),
+            jax.ShapeDtypeStruct((num_heads, D, dh), f32),
+            jax.ShapeDtypeStruct((num_heads, D, dh), f32),
+            jax.ShapeDtypeStruct((num_heads, 1, dh), f32),
+            jax.ShapeDtypeStruct((num_heads, 1, dh), f32),
+            jax.ShapeDtypeStruct((num_heads, 1, dh), f32),
+            jax.ShapeDtypeStruct((num_heads, dh, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+        ],
+        interpret=_interpret(),
+    )(xp, dp_, *prepped[:-1])
+    dx, dg, db, dwq, dwk, dwv, dbq, dbk, dbv, dwp, dbp = outs
+
+    # reassemble (H, D, dh) stacks into the caller's (D, 3D) qkv layout;
+    # the q slices were scale-folded, so their grads re-scale (chain rule
+    # through wq_s = wq·s).
+    def unstack(w):
+        return w.transpose(1, 0, 2).reshape(D, D)
+
+    dwqkv = jnp.concatenate(
+        [unstack(dwq) * scale, unstack(dwk), unstack(dwv)], axis=1
+    )
+    dbqkv = jnp.concatenate(
+        [dbq.reshape(D) * scale, dbk.reshape(D), dbv.reshape(D)]
+    )
+    return (
+        dx.reshape(B, np_, D)[:, :N].astype(x.dtype),
+        dg.reshape(g.shape).astype(g.dtype), db.reshape(b.shape).astype(b.dtype),
+        dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+        dwp.reshape(D, D).astype(wproj.dtype), dbp.reshape(bproj.shape).astype(bproj.dtype),
+    )
+
+
+fused_attn_residual.defvjp(_fwd, _bwd)

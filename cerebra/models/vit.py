@@ -143,6 +143,19 @@ class _LayerNormParams(nn.Module):
         return scale, bias
 
 
+class _AttnParams(nn.Module):
+    """The Attention module's (qkv, proj) Dense params WITHOUT applying the
+    layers — same tree as Attention, consumed by the fused Pallas path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        wproj, bproj = _DenseParams(self.dim, self.dim, name="proj")()
+        return wqkv, bqkv, wproj, bproj
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -158,26 +171,54 @@ class Block(nn.Module):
     # pair, recompute backward — cerebra.models.pallas_vit_mlp). Identical
     # param tree; engaged only when drop_path is inactive.
     use_fused_mlp: bool = False
+    # Fused Pallas attention half-block (LN1→QKV→MHA→proj→residual in one
+    # kernel pair, recompute backward — cerebra.models.pallas_vit_attn).
+    # Identical param tree; engaged only when the attention map is not
+    # needed and drop_path is inactive.
+    use_fused_attn: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = True, return_attention: bool = False
     ):
-        y, attn = Attention(
-            self.dim, self.num_heads, dtype=self.dtype, use_flash=self.use_flash,
-            name="attn",
-        )(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
-            train=train,
-            need_weights=return_attention,
-        )
-        if return_attention:
-            return attn
-        if self.layer_scale:
-            y = y * self.param(
-                "ls1_gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
+        if self.use_fused_attn and not return_attention and (
+            self.drop_path == 0.0 or not train
+        ):
+            from cerebra.models.pallas_vit_attn import fused_attn_residual
+
+            g, b = _LayerNormParams(self.dim, name="norm1")()
+            wqkv, bqkv, wproj, bproj = _AttnParams(self.dim, name="attn")()
+            if self.layer_scale:
+                # fold the residual-branch gamma into proj (the kernel adds
+                # the residual internally): proj(o)·ls1 = o @ (Wp·ls1) + bp·ls1
+                ls1 = self.param(
+                    "ls1_gamma", nn.initializers.constant(self.layer_scale_init),
+                    (self.dim,),
+                )
+                wproj = wproj * ls1[None, :]
+                bproj = bproj * ls1
+            comp = x.astype(self.dtype) if self.dtype is not None else x
+            x = fused_attn_residual(
+                comp, g, b, wqkv, bqkv, wproj, bproj, self.num_heads
             )
-        x = x + self._drop_path(y, train)
+        else:
+            y, attn = Attention(
+                self.dim, self.num_heads, dtype=self.dtype, use_flash=self.use_flash,
+                name="attn",
+            )(
+                nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
+                train=train,
+                need_weights=return_attention,
+            )
+            if return_attention:
+                return attn
+            if self.layer_scale:
+                y = y * self.param(
+                    "ls1_gamma",
+                    nn.initializers.constant(self.layer_scale_init),
+                    (self.dim,),
+                )
+            x = x + self._drop_path(y, train)
         F = int(self.dim * self.mlp_ratio)
         if self.use_fused_mlp and (self.drop_path == 0.0 or not train):
             from cerebra.models.pallas_vit_mlp import fused_mlp_residual
@@ -229,6 +270,7 @@ class VisionTransformer(nn.Module):
     dtype: Optional[Any] = None
     use_flash: bool = False  # Pallas flash attention on TPU (globals only)
     use_fused_mlp: bool = False  # fused Pallas MLP half-block (pallas_vit_mlp)
+    use_fused_attn: bool = False  # fused Pallas attention half-block (pallas_vit_attn)
     # jax.checkpoint each block (save only matmul outputs): trades GELU/LN/
     # softmax recompute for the backward's saved-activation HBM streams.
     remat: bool = False
@@ -274,6 +316,7 @@ class VisionTransformer(nn.Module):
                 self.embed_dim, self.num_heads, self.mlp_ratio, float(dpr[i]),
                 layer_scale=self.layer_scale, dtype=self.dtype,
                 use_flash=self.use_flash, use_fused_mlp=self.use_fused_mlp,
+                use_fused_attn=self.use_fused_attn,
                 name=f"block_{i}",
             )
             if return_attention_of_last_block and i == self.depth - 1:

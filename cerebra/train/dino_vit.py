@@ -67,6 +67,8 @@ class DinoVitConfig:
     remat: bool = False
     # fused Pallas MLP half-block in every ViT block (pallas_vit_mlp).
     use_fused_mlp: bool = False
+    # fused Pallas attention half-block in every ViT block (pallas_vit_attn).
+    use_fused_attn: bool = False
 
 
 def build_vit(cfg: DinoVitConfig) -> VisionTransformer:
@@ -74,6 +76,7 @@ def build_vit(cfg: DinoVitConfig) -> VisionTransformer:
     return ctor(
         patch_size=cfg.patch_size, img_size=cfg.global_size, dtype=cfg.dtype,
         use_flash=cfg.use_flash, remat=cfg.remat, use_fused_mlp=cfg.use_fused_mlp,
+        use_fused_attn=cfg.use_fused_attn,
     )
 
 
