@@ -75,17 +75,28 @@ def prepare_eeg_data(
 
 
 def prepare_data_for_vis(
-    corpus: EEGCorpus, convert_to_numpy: bool = True
+    corpus: EEGCorpus,
+    convert_to_numpy: bool = True,
+    images: Optional[np.ndarray] = None,
 ) -> Tuple[Dict[int, Dict[str, list]], np.ndarray, List[int], Optional[np.ndarray]]:
     """(label_wise_data, eeg_features, eeg_labels, last_image_features) for
     the visualization notebooks (PrepapreDataforVis,
     utils/Utilities.py:267-297). The fourth slot reproduces the reference's
-    quirk of returning whatever `img_f` the LAST iterated sample carried."""
+    quirk of returning whatever `img_f` the LAST iterated sample carried.
+
+    ``images``: optional per-sample pixel bank (N leading). The reference
+    appends the sample's `image` slot (:276) — the loaded image tensor on
+    pixel-backed datasets; pass the bank to reproduce that. Without it the
+    "images" lists fall back to the image NAMES (what our corpus carries —
+    the reference's behavior on name-backed samples)."""
     label_wise: Dict[int, Dict[str, list]] = {}
     for i in range(corpus.n):
         c = int(corpus.labels[i])
         slot = label_wise.setdefault(c, {"images": [], "eeg": []})
-        slot["images"].append(corpus.image_names[int(corpus.image_idx[i])])
+        slot["images"].append(
+            images[i] if images is not None
+            else corpus.image_names[int(corpus.image_idx[i])]
+        )
         slot["eeg"].append(np.asarray(corpus.eeg[i]))
     feats, labels = [], []
     for label, data in label_wise.items():

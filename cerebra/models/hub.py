@@ -203,6 +203,18 @@ def load_pretrained_weights(
     """
     from cerebra.models.vit import import_vit_torch
 
+    def _import(sd):
+        """ViT archs map onto the flax VisionTransformer; the non-ViT rows
+        of the URL table (resnet50, xcit_*) have no flax importer here —
+        return their raw state dict like the reference's model-agnostic
+        load_state_dict (utils/utils.py:84-107) rather than crashing in
+        import_vit_torch (KeyError 'cls_token')."""
+        if model_name.startswith("vit_"):
+            return import_vit_torch(sd, depth=depth)["params"]
+        print(f"{model_name} has no flax importer; returning the raw torch "
+              "state dict for the caller's own importer.")
+        return sd
+
     if pretrained_weights and os.path.isfile(pretrained_weights):
         import torch
 
@@ -211,7 +223,7 @@ def load_pretrained_weights(
             print(f"Take key {checkpoint_key} in provided checkpoint dict")
             sd = sd[checkpoint_key]
         sd = {k: v for k, v in sd.items() if not k.startswith(("head.", "module.head."))}
-        params = import_vit_torch(sd, depth=depth)["params"]
+        params = _import(sd)
         print(f"Pretrained weights found at {pretrained_weights} and loaded")
         return params
     print("Please use the `--pretrained_weights` argument to indicate the "
@@ -221,7 +233,7 @@ def load_pretrained_weights(
     if sd is not None:
         print("Since no pretrained weights have been provided, we load the "
               "reference pretrained DINO weights.")
-        return import_vit_torch(sd, depth=depth)["params"]
+        return _import(sd)
     print("There is no reference weights available for this model => "
           "We use random weights.")
     return None

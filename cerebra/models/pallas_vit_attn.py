@@ -30,8 +30,9 @@ that callers slice away, and their zero cotangents contribute exactly zero
 to every weight gradient (verified in tests/test_pallas_vit_attn.py).
 
 Numerics: LN statistics, softmax, and all gradient accumulation in f32;
-matmuls take x.dtype operands with f32 accumulation (flax
-Dense(dtype=bf16) semantics). Parity with the XLA Attention half is pinned
+matmuls take compute_dtype operands (default x.dtype) with f32
+accumulation (flax Dense(dtype=bf16) semantics), while the residual
+stream (x in, out, dx) keeps x.dtype. Parity with the XLA Attention half is pinned
 in tests/test_pallas_vit_attn.py; the ship/reject measurement lives in
 benchmarks/kernel_lab.py::exp_vitattn.
 """
@@ -57,12 +58,12 @@ from cerebra.models.pallas_vit_mlp import (
 _MASK_VAL = -1e30
 
 
-def _ln_affine(x_ref, g_ref, b_ref):
-    """f32 LN + affine of the row tile, returned in (f32, x.dtype) forms."""
+def _ln_affine(x_ref, g_ref, b_ref, cdt):
+    """f32 LN + affine of the row tile, returned in (f32, f32, cdt) forms."""
     x = x_ref[...].astype(jnp.float32)
     xn = _layernorm_f32(x)
     y32 = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
-    return x, xn, y32.astype(x_ref.dtype)
+    return x, xn, y32.astype(cdt)
 
 
 def _softmax_masked(s, n_real):
@@ -77,10 +78,10 @@ def _softmax_masked(s, n_real):
 
 def _fwd_kernel(
     x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-    wp_ref, bp_ref, out_ref, *, n_real: int, n_heads: int,
+    wp_ref, bp_ref, out_ref, *, n_real: int, n_heads: int, cdt,
 ):
-    x, _, y = _ln_affine(x_ref, g_ref, b_ref)
-    dt = x_ref.dtype
+    x, _, y = _ln_affine(x_ref, g_ref, b_ref, cdt)
+    dt = cdt
     acc = bp_ref[...].astype(jnp.float32)  # (1, D) broadcasts over rows
     out = None
     for h in range(n_heads):
@@ -98,7 +99,7 @@ def _bwd_kernel(
     x_ref, dout_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
     bv_ref, wp_ref,
     dx_ref, dg_ref, db_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref,
-    dbv_ref, dwp_ref, dbp_ref, *, n_real: int, n_heads: int,
+    dbv_ref, dwp_ref, dbp_ref, *, n_real: int, n_heads: int, cdt,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -108,8 +109,8 @@ def _bwd_kernel(
         ):
             r[...] = jnp.zeros_like(r)
 
-    x, xn, y = _ln_affine(x_ref, g_ref, b_ref)
-    dt = x_ref.dtype
+    x, xn, y = _ln_affine(x_ref, g_ref, b_ref, cdt)
+    dt = cdt
     dout = dout_ref[...].astype(jnp.float32)
     dout_n = dout.astype(dt)
     dbp_ref[...] += jnp.sum(dout, axis=0, keepdims=True)
@@ -202,24 +203,30 @@ def _seq_spec(width, np_):
     return pl.BlockSpec((np_, width), lambda i: (i, 0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def fused_attn_residual(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad=16):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_attn_residual(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad=16,
+                        compute_dtype=None):
     """x + proj(MHA(layernorm(x)·g + b)) over (B, N, D) sequences.
 
     Params keep their caller dtype (typically f32 flax params); every MXU
-    matmul runs in x.dtype like flax Dense(dtype=...). ``pad`` is the
-    sequence-padding granularity (block sublane multiple)."""
-    out, _ = _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad)
+    matmul runs in ``compute_dtype`` (default x.dtype) like flax
+    Dense(dtype=...), while the residual STREAM (x in, out, dx) keeps
+    x.dtype — an f32 token stream through bf16 blocks stays f32, exactly
+    like the unfused Block. ``pad`` is the sequence-padding granularity
+    (block sublane multiple)."""
+    out, _ = _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad,
+                  compute_dtype)
     return out
 
 
-def _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad):
+def _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad, compute_dtype):
     B, N, D = x.shape
     dh = D // num_heads
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     xp, np_ = _pad_seq(x, pad)
-    prepped = _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, x.dtype)
+    prepped = _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, cdt)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_real=N, n_heads=num_heads),
+        functools.partial(_fwd_kernel, n_real=N, n_heads=num_heads, cdt=cdt),
         grid=(B,),
         in_specs=[
             _seq_spec(D, np_), _whole_spec((1, D)), _whole_spec((1, D)),
@@ -237,17 +244,18 @@ def _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad):
     return out, (x, g, b, wqkv, bqkv, wproj, bproj)
 
 
-def _bwd(num_heads, pad, res, dout):
+def _bwd(num_heads, pad, compute_dtype, res, dout):
     x, g, b, wqkv, bqkv, wproj, bproj = res
     B, N, D = x.shape
     dh = D // num_heads
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     scale = dh ** -0.5
     xp, np_ = _pad_seq(x, pad)
     dp_, _ = _pad_seq(dout.astype(x.dtype), pad)
-    prepped = _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, x.dtype)
+    prepped = _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, cdt)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_real=N, n_heads=num_heads),
+        functools.partial(_bwd_kernel, n_real=N, n_heads=num_heads, cdt=cdt),
         grid=(B,),
         in_specs=[
             _seq_spec(D, np_), _seq_spec(D, np_),

@@ -89,20 +89,21 @@ def _matmul_bt(a, b):
     )
 
 
-def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+                *, cdt):
     x = x_ref[...].astype(jnp.float32)
     xn = _layernorm_f32(x)
     y1 = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
-    y1 = y1.astype(x_ref.dtype)
+    y1 = y1.astype(cdt)
     h = _matmul(y1, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
-    gh = _gelu_exact(h).astype(x_ref.dtype)
+    gh = _gelu_exact(h).astype(cdt)
     out = _matmul(gh, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
     out_ref[...] = (x + out).astype(out_ref.dtype)
 
 
 def _bwd_kernel(
     x_ref, dout_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
-    dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, cdt,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -115,10 +116,10 @@ def _bwd_kernel(
 
     # recompute the forward intermediates in VMEM
     xn = _layernorm_f32(x)
-    y1 = (xn * g + b_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    y1 = (xn * g + b_ref[...].astype(jnp.float32)).astype(cdt)
     h = _matmul(y1, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
 
-    dt = x_ref.dtype
+    dt = cdt
     dout_n = dout.astype(dt)
     # fc2
     gh = _gelu_exact(h).astype(dt)
@@ -168,23 +169,28 @@ def _prep(params, dtype):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_mlp_residual(x, g, b, w1, b1, w2, b2, tile_m: int = 256):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_mlp_residual(x, g, b, w1, b1, w2, b2, tile_m: int = 256,
+                       compute_dtype=None):
     """x + fc2(gelu_exact(fc1(layernorm(x)·g + b))) over rows of x (M, D).
 
     Params keep their caller dtype (typically f32 flax params); the MXU
-    matmuls run in x.dtype like flax Dense(dtype=...)."""
-    out, _ = _fwd(x, g, b, w1, b1, w2, b2, tile_m)
+    matmuls run in ``compute_dtype`` (default x.dtype) like flax
+    Dense(dtype=...), while the residual STREAM (x in, out, dx) keeps
+    x.dtype — so an f32 token stream through bf16 blocks stays f32, exactly
+    like the unfused Block (x + Dense(dtype=bf16)(...) promotes to f32)."""
+    out, _ = _fwd(x, g, b, w1, b1, w2, b2, tile_m, compute_dtype)
     return out
 
 
-def _fwd(x, g, b, w1, b1, w2, b2, tile_m):
+def _fwd(x, g, b, w1, b1, w2, b2, tile_m, compute_dtype):
     M, D = x.shape
     F = w1.shape[1]
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     xp = _pad_rows(x, tile_m)
     grid = (xp.shape[0] // tile_m,)
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, cdt=cdt),
         grid=grid,
         in_specs=[
             _row_spec(D, tile_m), _whole_spec((1, D)), _whole_spec((1, D)),
@@ -194,20 +200,21 @@ def _fwd(x, g, b, w1, b1, w2, b2, tile_m):
         out_specs=_row_spec(D, tile_m),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         interpret=_interpret(),
-    )(xp, *_prep((g, b, w1, b1, w2, b2), x.dtype))
+    )(xp, *_prep((g, b, w1, b1, w2, b2), cdt))
     return out[:M], (x, g, b, w1, b1, w2, b2)
 
 
-def _bwd(tile_m, res, dout):
+def _bwd(tile_m, compute_dtype, res, dout):
     x, g, b, w1, b1, w2, b2 = res
     M, D = x.shape
     F = w1.shape[1]
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     xp = _pad_rows(x, tile_m)
     dp = _pad_rows(dout.astype(x.dtype), tile_m)
     grid = (xp.shape[0] // tile_m,)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel),
+        functools.partial(_bwd_kernel, cdt=cdt),
         grid=grid,
         in_specs=[
             _row_spec(D, tile_m), _row_spec(D, tile_m),
@@ -227,7 +234,7 @@ def _bwd(tile_m, res, dout):
             jax.ShapeDtypeStruct((F, D), f32), jax.ShapeDtypeStruct((1, D), f32),
         ],
         interpret=_interpret(),
-    )(xp, dp, *_prep((g, b, w1, b1, w2, b2), x.dtype)[:5])
+    )(xp, dp, *_prep((g, b, w1, b1, w2, b2), cdt)[:5])
     dx, dg, db, dw1, db1, dw2, db2 = outs
     return (
         dx[:M].astype(x.dtype),

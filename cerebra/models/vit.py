@@ -197,9 +197,10 @@ class Block(nn.Module):
                 )
                 wproj = wproj * ls1[None, :]
                 bproj = bproj * ls1
-            comp = x.astype(self.dtype) if self.dtype is not None else x
+            # x keeps its stream dtype (f32 residual stream under bf16
+            # compute, like the unfused x + Attention(dtype=bf16)(...))
             x = fused_attn_residual(
-                comp, g, b, wqkv, bqkv, wproj, bproj, self.num_heads
+                x, g, b, wqkv, bqkv, wproj, bproj, self.num_heads, 16, self.dtype
             )
         else:
             y, attn = Attention(
@@ -236,8 +237,11 @@ class Block(nn.Module):
                 w2 = w2 * ls2[None, :]
                 b2 = b2 * ls2
             B, N, D = x.shape
-            comp = x.astype(self.dtype) if self.dtype is not None else x
-            out = fused_mlp_residual(comp.reshape(B * N, D), g, b, w1, b1, w2, b2)
+            # x keeps its stream dtype; only the branch matmuls run in
+            # self.dtype (flax Dense(dtype=...) semantics)
+            out = fused_mlp_residual(
+                x.reshape(B * N, D), g, b, w1, b1, w2, b2, 256, self.dtype
+            )
             return out.reshape(B, N, D)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(F, dtype=self.dtype, name="mlp_fc1")(h)

@@ -14,6 +14,7 @@ only (utils/utils.py:447-449), and restores with prefix-stripping loaders
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Dict, Optional
 
@@ -37,17 +38,25 @@ def host_replicated(tree: Any) -> Any:
     utils/utils.py:447-449); gate only the file WRITE on rank 0, never this
     gather.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     def fix(leaf):
         if isinstance(leaf, jax.Array) and not (
             leaf.is_fully_addressable or leaf.sharding.is_fully_replicated
         ):
-            mesh = leaf.sharding.mesh
-            leaf = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(leaf)
+            leaf = _replicate(leaf.sharding.mesh)(leaf)
         return np.asarray(leaf)
 
     return jax.tree.map(fix, tree)
+
+
+@functools.lru_cache(maxsize=None)
+def _replicate(mesh):
+    """One cached collective identity-jit per mesh: a fresh
+    `jax.jit(lambda x: x, ...)` per leaf per call would defeat the jit
+    cache (the cache key includes the function object) and re-pay a
+    remote-compile round trip per leaf per checkpoint epoch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
 
 
 # ------------------------------------------------------------------- orbax

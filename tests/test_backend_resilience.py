@@ -90,17 +90,36 @@ def test_dryrun_diverts_to_cpu_when_probe_fails(monkeypatch):
     monkeypatch.setattr(graft, "_probe_real_devices", lambda *a, **k: None)
     captured = {}
 
-    def fake_run(cmd, **kw):
+    def fake_popen(cmd, **kw):
         captured["cmd"] = cmd
         captured["env"] = kw.get("env", {})
-        return types.SimpleNamespace(returncode=0, stdout="dryrun_multichip OK (fake)\n")
+        kw["stdout"].write("dryrun_multichip OK (fake)\n")
+        return types.SimpleNamespace(wait=lambda timeout=None: 0, pid=0)
 
-    monkeypatch.setattr(graft.subprocess, "run", fake_run)
+    monkeypatch.setattr(graft.subprocess, "Popen", fake_popen)
     graft.dryrun_multichip(8)
     code = captured["cmd"][-1]
     assert "jax.config.update('jax_platforms', 'cpu')" in code
     assert "_dryrun_multichip_impl(8)" in code
     assert "--xla_force_host_platform_device_count=8" in captured["env"]["XLA_FLAGS"]
+
+
+def test_probe_bounded_despite_stdio_inheriting_grandchild(monkeypatch):
+    """A half-up tunnel makes the axon init spawn relay helpers that inherit
+    the probe child's stdio and outlive it. With PIPE stdio + subprocess.run
+    the probe then blocked FOREVER in communicate() after the timeout kill
+    (pipe never reaches EOF) — the round-4 'bounded probe that was not
+    bounded'. The temp-file + killpg probe must return at the timeout and
+    take the grandchild down with the group."""
+    monkeypatch.setattr(
+        graft, "_PROBE_CODE",
+        "import subprocess, sys, time\n"
+        "subprocess.Popen([sys.executable, '-c', 'import time; time.sleep(600)'])\n"
+        "time.sleep(600)\n",
+    )
+    t0 = time.perf_counter()
+    assert graft._probe_real_devices(timeout_s=3.0) is None
+    assert time.perf_counter() - t0 < 30.0
 
 
 @pytest.mark.slow
@@ -121,6 +140,27 @@ def test_dryrun_end_to_end_with_hanging_backend(hang_env, monkeypatch):
     assert proc.returncode == 0, proc.stdout
     assert "dryrun_multichip OK" in proc.stdout
     assert "DRYRUN_DONE" in proc.stdout
+
+
+@pytest.mark.slow  # probe timeout + full-scale CPU entry compile + dryrun
+def test_main_falls_back_to_cpu_under_pinned_dead_backend(hang_env, monkeypatch):
+    """`python __graft_entry__.py` in the REAL driver world: the env pins
+    JAX_PLATFORMS=axon (kernel_env), the backend is dead. Honoring the pin
+    alone hangs the entry() jit in-process (round-4 regression, observed
+    9m+); the probe-then-CPU-fallback must complete green."""
+    monkeypatch.setenv("CEREBRA_PROBE_TIMEOUT_S", "8")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"  # the driver env's pin
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "__graft_entry__.py"],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stdout
+    assert "entry OK" in proc.stdout
+    assert "dryrun_multichip OK" in proc.stdout
 
 
 def test_bench_wait_for_backend_raises_after_bounded_retries(hang_env):

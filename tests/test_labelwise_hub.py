@@ -75,7 +75,7 @@ class _FakeRefDataset:
         for i in range(self.corpus.n):
             eeg = t.from_numpy(np.asarray(self.corpus.eeg[i]))
             label = {"ClassId": int(self.corpus.labels[i])}
-            image = t.zeros(3, 4, 4)
+            image = t.full((3, 4, 4), float(i))  # distinct per sample
             img_f = t.from_numpy(np.asarray(self.corpus.image_features[i]))
             if self.tuples == 4:
                 yield eeg, label, image, i
@@ -121,11 +121,25 @@ def test_prepare_data_for_vis_matches_reference(ref_utilities):
     )
     from cerebra.data.labelwise import prepare_data_for_vis
 
-    lw, feats, labels, img_f = prepare_data_for_vis(corpus)
+    images = np.stack(
+        [np.full((3, 4, 4), float(i), np.float32) for i in range(corpus.n)]
+    )
+    lw, feats, labels, img_f = prepare_data_for_vis(corpus, images=images)
     assert labels == ref_labels
     np.testing.assert_allclose(feats, ref_feats)
     assert set(lw) == set(ref_lw)
+    # the reference appends the sample's image TENSOR (:276) — pin content
+    for c in ref_lw:
+        assert len(ref_lw[c]["images"]) == len(lw[c]["images"])
+        for a, b in zip(ref_lw[c]["images"], lw[c]["images"]):
+            np.testing.assert_array_equal(a.numpy(), b)
     np.testing.assert_allclose(img_f, ref_imgf.numpy())
+
+    # name-backed fallback (no pixel bank): image names, like
+    # load_data_label_wise's imagePath slot
+    lw_names, *_ = prepare_data_for_vis(corpus)
+    for c in lw_names:
+        assert all(isinstance(x, str) for x in lw_names[c]["images"])
 
 
 def test_calc_eeg_mean_matches_reference(ref_utilities):

@@ -50,7 +50,7 @@ def test_fused_attn_forward_matches_xla(N, rng):
 
 
 def test_fused_attn_grads_match_xla(rng):
-    B, N, D, H = 2, 13, 32, 4  # N=13 → 3 masked pad tokens
+    B, N, D, H = 2, 13, 32, 2  # N=13 → 3 masked pad tokens
     x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
     params = _params(rng, D)
 
@@ -67,6 +67,8 @@ def test_fused_attn_grads_match_xla(rng):
         np.testing.assert_allclose(a, want, rtol=5e-5, atol=5e-6 * scale)
 
 
+@pytest.mark.slow  # second angle on pad masking (grads-match above already
+# runs with masked pad tokens in the fast suite)
 def test_fused_attn_padding_is_inert(rng):
     """The same sequences evaluated with no padding (pad=1 → Np=N) and with
     masked pad tokens (pad=16) must agree in value AND weight grads — the
@@ -140,3 +142,22 @@ def test_block_fused_attn_matches_plain(layer_scale, rng):
     # attention-map surface still works on the fused module (naive fallback)
     attn = fused.apply({"params": params}, x, False, True)
     assert attn.shape == (B, H, N, N)
+
+
+def test_block_fused_attn_keeps_f32_residual_stream_under_bf16(rng):
+    """Under dtype=bf16 the fused path must NOT truncate the residual
+    stream: an f32 x stays f32 through the block (like the unfused
+    x + Attention(dtype=bf16)(...) promotion) and matches the plain block
+    closely — only the branch compute is bf16."""
+    from cerebra.models.vit import Block
+
+    D, H, B, N = 64, 2, 2, 13
+    x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    plain = Block(D, H, dtype=jnp.bfloat16)
+    fused = Block(D, H, dtype=jnp.bfloat16, use_fused_attn=True)
+    params = plain.init(jax.random.key(0), x, False, False)["params"]
+    want = plain.apply({"params": params}, x, False, False)
+    got = fused.apply({"params": params}, x, False, False)
+    assert got.dtype == want.dtype == jnp.float32
+    scale = float(jnp.abs(want).max())
+    assert float(jnp.abs(got - want).max()) < 0.02 * scale

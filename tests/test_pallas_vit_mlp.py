@@ -127,3 +127,21 @@ def test_block_fused_mlp_matches_plain(layer_scale, rng):
             g, w, rtol=5e-4, atol=5e-5 * scale,
             err_msg=jax.tree_util.keystr(pw),
         )
+
+
+def test_block_fused_mlp_keeps_f32_residual_stream_under_bf16(rng):
+    """Under dtype=bf16 the fused path must NOT truncate the residual
+    stream: an f32 x stays f32 through the block and matches the plain
+    block closely — only the branch compute is bf16."""
+    from cerebra.models.vit import Block
+
+    D, H, B, N = 64, 2, 2, 13
+    x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    plain = Block(D, H, dtype=jnp.bfloat16)
+    fused = Block(D, H, dtype=jnp.bfloat16, use_fused_mlp=True)
+    params = plain.init(jax.random.key(0), x, False, False)["params"]
+    want = plain.apply({"params": params}, x, False, False)
+    got = fused.apply({"params": params}, x, False, False)
+    assert got.dtype == want.dtype == jnp.float32
+    scale = float(jnp.abs(want).max())
+    assert float(jnp.abs(got - want).max()) < 0.02 * scale
