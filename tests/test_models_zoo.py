@@ -100,6 +100,8 @@ def test_conv_blocks():
     assert rb.apply(v, x, train=False).shape == x.shape
 
 
+@pytest.mark.slow  # surface shapes at 32px; the fast suite pins the same
+# behaviors against the reference's own class (test_reference_vit_oracle.py)
 def test_vit_forward_and_attention():
     m = vit_tiny(patch_size=8, img_size=32)
     x = jnp.zeros((2, 32, 32, 3))
