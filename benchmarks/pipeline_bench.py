@@ -51,6 +51,10 @@ def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, epochs
         batch_size_per_device=batch, warmup_epochs=0, dtype=jnp.bfloat16,
         use_flash=bool(flash), remat=bool(remat), use_fused_mlp=bool(fused_mlp),
         use_fused_attn=bool(fused_attn),
+        # 0.0 keeps continuity with the round-2/3 main_dino numbers and an
+        # apples-to-apples fused-kernel comparison (drop_path blocks keep
+        # the XLA path); the CLI default matches the reference (0.1)
+        drop_path_rate=0.0,
     )
     _, hist = dino_vit_train(eeg, imgs, config=cfg, log_fn=lambda s: None)
     # teacher fwd: 2 globals; student fwd+bwd (×3): 2 globals + 4 locals

@@ -54,6 +54,8 @@ def main(argv=None):
                         help="fused Pallas MLP half-block in every ViT block")
     parser.add_argument("--use_fused_attn", type=bool_flag, default=False,
                         help="fused Pallas attention half-block in every ViT block")
+    parser.add_argument("--drop_path_rate", type=float, default=0.1,
+                        help="student stochastic depth (dino/main_dino.py:105)")
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     init_distributed()
@@ -75,6 +77,7 @@ def main(argv=None):
         seed=FLAGS.seed, dtype=jnp.bfloat16 if FLAGS.use_bf16 else None,
         use_flash=FLAGS.use_flash, remat=FLAGS.remat,
         use_fused_mlp=FLAGS.use_fused_mlp, use_fused_attn=FLAGS.use_fused_attn,
+        drop_path_rate=FLAGS.drop_path_rate,
     )
     # stimulus images: not bundled — locals fall back to EEG-image crops
     state, hist = dino_vit_train(

@@ -69,14 +69,19 @@ class DinoVitConfig:
     use_fused_mlp: bool = False
     # fused Pallas attention half-block in every ViT block (pallas_vit_attn).
     use_fused_attn: bool = False
+    # student stochastic depth (dino/main_dino.py:105 default 0.1; the
+    # teacher is built WITHOUT drop path, :183-190). Blocks with an active
+    # drop_path keep the XLA path during training (the fused kernels add
+    # the residual internally and cannot express the per-sample mask).
+    drop_path_rate: float = 0.1
 
 
-def build_vit(cfg: DinoVitConfig) -> VisionTransformer:
+def build_vit(cfg: DinoVitConfig, drop_path_rate: float = 0.0) -> VisionTransformer:
     ctor = {"vit_tiny": vit_tiny, "vit_small": vit_small, "vit_base": vit_base}[cfg.arch]
     return ctor(
         patch_size=cfg.patch_size, img_size=cfg.global_size, dtype=cfg.dtype,
         use_flash=cfg.use_flash, remat=cfg.remat, use_fused_mlp=cfg.use_fused_mlp,
-        use_fused_attn=cfg.use_fused_attn,
+        use_fused_attn=cfg.use_fused_attn, drop_path_rate=drop_path_rate,
     )
 
 
@@ -142,8 +147,19 @@ def dino_vit_train(
     global_batch = cfg.batch_size_per_device * n_devices
     niter_per_ep = max(n // global_batch, 1)
 
-    backbone = build_vit(cfg)
+    backbone = build_vit(cfg)  # teacher: no drop path (dino/main_dino.py:190)
     embed_dim = backbone.embed_dim
+    # student: same param tree (drop_path is parameterless), stochastic
+    # depth active in training like the reference (:105,:183)
+    student_backbone = (
+        build_vit(cfg, drop_path_rate=cfg.drop_path_rate)
+        if cfg.drop_path_rate > 0.0 else None
+    )
+
+    def student_apply(p, x, rng):
+        # per-resolution-group decorrelated masks: fold the view height in
+        rng = jax.random.fold_in(rng, x.shape[1])
+        return student_backbone.apply(p, x, train=True, rngs={"dropout": rng})
     head = DINOHead(
         in_dim=embed_dim, out_dim=cfg.out_dim, use_bn=cfg.use_bn_in_head,
         norm_last_layer=cfg.norm_last_layer, dtype=cfg.dtype,
@@ -183,6 +199,7 @@ def dino_vit_train(
         jit=False,  # embedded in the whole-epoch lax.scan below
         backbone_apply=lambda p, x: backbone.apply(p, x),
         head_apply=lambda p, f: head.apply(p, f),
+        student_backbone_apply=None if student_backbone is None else student_apply,
         tx=tx,
         lr_schedule=jnp.asarray(lr_schedule, dtype=jnp.float32),
         wd_schedule=jnp.asarray(wd_schedule, dtype=jnp.float32),

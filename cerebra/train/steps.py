@@ -89,6 +89,7 @@ def make_dino_step(
     freeze_last_layer: int = 1,
     compat_reference_pairing: bool = False,
     jit: bool = True,
+    student_backbone_apply: Optional[Callable] = None,  # (params, x, key)
 ):
     """One DINO iteration (call stack SURVEY.md §3.2), fully fused: view
     construction (default: random temporal multi-crop; pluggable via
@@ -99,6 +100,14 @@ def make_dino_step(
 
     The FIRST view group is global (teacher consumes it); remaining groups
     are student-only (LstmDistillation.py:584-592).
+
+    ``student_backbone_apply``: optional stochastic student forward
+    ``(params, x, key) -> features`` — the reference trains the main_dino
+    student with drop_path_rate=0.1 (dino/main_dino.py:105,183) while the
+    teacher stays deterministic. When provided, the step key is split
+    between view construction and the student's dropout rng; when absent
+    (default) the student uses ``backbone_apply`` and the key flow is
+    unchanged (bit-compatible with earlier recipes).
     """
 
     if view_fn is None:
@@ -117,6 +126,8 @@ def make_dino_step(
         m = momentum_schedule[it]
         t_temp = teacher_temp_by_epoch[epoch]
 
+        if student_backbone_apply is not None:
+            key, drop_key = jax.random.split(key)
         groups = view_fn(key, batch)
         n_teacher = groups[0].shape[0]
         n_crops = sum(int(g.shape[0]) for g in groups)
@@ -130,7 +141,12 @@ def make_dino_step(
         teacher_out = jax.lax.stop_gradient(teacher_out)
 
         def compute_loss(student_params):
-            s_backbone = lambda x: backbone_apply(params_of(student_params["backbone"]), x)
+            if student_backbone_apply is not None:
+                s_backbone = lambda x: student_backbone_apply(
+                    params_of(student_params["backbone"]), x, drop_key
+                )
+            else:
+                s_backbone = lambda x: backbone_apply(params_of(student_params["backbone"]), x)
             s_head = lambda f: head_apply(params_of(student_params["head"]), f)
             student_out = multicrop_forward(s_backbone, s_head, groups)
             student_out = student_out.reshape(n_crops, B, -1)
