@@ -13,6 +13,12 @@ config in this environment). The torch measurement is cached in
 `.bench_baseline.json` after the first run.
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
+
+Failure contract: on any error (dead tunnel, backend init failure, watchdog)
+the JSON line has `value: null` plus an `error` string AND — when a prior
+green measurement exists — a `last_green` object re-emitting the best-known
+verified number with provenance (value, unit, vs_baseline, UTC timestamp,
+git SHA, recorder), so a dead-tunnel round still carries evidence.
 """
 
 import json
@@ -27,7 +33,9 @@ import numpy as np
 B = 1024  # TPU batch (the reference uses 16 on CPU/GPU; we keep its per-chip
           # throughput metric but feed the MXU a full batch)
 T_RAW, T_LO, T_HI, C, F, N_CLASSES = 512, 20, 480, 96, 384, 40
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(_REPO, ".bench_baseline.json")
+LASTGREEN_PATH = os.path.join(_REPO, ".bench_lastgreen.json")
 
 
 def log(*a):
@@ -218,56 +226,128 @@ def flops_per_window() -> float:
     return filter_f + 3.0 * fwd  # bwd ≈ 2× fwd FLOPs on the matmuls
 
 
+def _git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=_REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _load_last_green():
+    try:
+        with open(LASTGREEN_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _save_last_green(value: float, vs_baseline: float) -> None:
+    rec = {
+        "value": round(value, 1),
+        "unit": "windows/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_sha": _git_sha(),
+        "recorded_by": "bench.py (green run on real device)",
+    }
+    with open(LASTGREEN_PATH, "w") as f:
+        json.dump(rec, f)
+
+
+def measure_jax_bounded(timeout_s: float) -> float:
+    """Run measure_jax in a BOUNDED child process (own session, output to a
+    temp FILE — never a pipe: a half-up axon tunnel leaves relay helpers
+    holding the child's stdio open, see __graft_entry__._probe_real_devices).
+
+    A SIGALRM watchdog in this process cannot fire while a dead tunnel blocks
+    inside the jax runtime's C calls (signals are only delivered between
+    bytecodes), so the bound lives OUT of process: wait(timeout) then kill
+    the child's whole process group."""
+    import signal as _signal
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as out:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child-jax"],
+            stdout=out, stderr=subprocess.STDOUT, text=True,
+            env=dict(os.environ), start_new_session=True, cwd=_REPO,
+        )
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, _signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
+            out.seek(0)
+            log(out.read())
+            raise TimeoutError(
+                f"jax measurement exceeded the {timeout_s:.0f}s watchdog "
+                "(tunnel died mid-measurement?)"
+            )
+        out.seek(0)
+        text = out.read()
+    log(text)
+    if rc != 0:
+        raise RuntimeError(f"jax measurement child exited rc={rc}")
+    for line in text.splitlines():
+        if line.startswith("CHILD_RESULT="):
+            return float(json.loads(line.split("=", 1)[1])["wps"])
+    raise RuntimeError("jax measurement child produced no CHILD_RESULT line")
+
+
 def main():
-    # hard watchdog: if the tunnel dies MID-measurement the in-process jax
-    # calls can block forever; convert that into the diagnostic JSON line.
-    import signal
-
     watchdog_s = int(os.environ.get("CEREBRA_BENCH_WATCHDOG_S", "1800"))
-
-    def _timeout(signum, frame):
-        raise TimeoutError(f"bench watchdog fired after {watchdog_s}s")
-
-    signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(watchdog_s)
     try:
         baseline = measure_torch_baseline()
         baseline_wps = max(baseline["windows_per_s"], baseline["windows_per_s_b1024"])
         wait_for_backend()
-        jax_wps = measure_jax()
+        jax_wps = measure_jax_bounded(timeout_s=watchdog_s)
     except BaseException as e:  # noqa: BLE001 — ALWAYS emit one JSON line
-        signal.alarm(0)
         log(traceback.format_exc())
-        print(
-            json.dumps(
-                {
-                    "metric": "eeg_windows_per_sec_per_chip_filter_lstm_fwd_bwd",
-                    "value": None,
-                    "unit": "windows/s",
-                    "vs_baseline": None,
-                    "error": f"{type(e).__name__}: {e}",
-                }
-            )
-        )
+        out = {
+            "metric": "eeg_windows_per_sec_per_chip_filter_lstm_fwd_bwd",
+            "value": None,
+            "unit": "windows/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }
+        last = _load_last_green()
+        if last is not None:
+            out["last_green"] = last
+        print(json.dumps(out))
         raise SystemExit(3)
-    signal.alarm(0)
     gf = flops_per_window() / 1e9
     tflops = jax_wps * gf / 1e3
     log(
         f"estimated compute: {gf:.3f} GF/window -> {tflops:.1f} TFLOP/s "
         f"(~{100 * tflops / 197:.1f}% of v5e bf16 peak)"
     )
+    vs = jax_wps / baseline_wps
+    _save_last_green(jax_wps, vs)
     print(
         json.dumps(
             {
                 "metric": "eeg_windows_per_sec_per_chip_filter_lstm_fwd_bwd",
                 "value": round(jax_wps, 1),
                 "unit": "windows/s",
-                "vs_baseline": round(jax_wps / baseline_wps, 2),
+                "vs_baseline": round(vs, 2),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--child-jax" in sys.argv:
+        # bounded-subprocess entry: measure and hand the number to the parent
+        # through a greppable line (parent reads our merged output from a file)
+        print(f"CHILD_RESULT={json.dumps({'wps': measure_jax()})}", flush=True)
+    else:
+        main()

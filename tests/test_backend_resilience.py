@@ -194,6 +194,80 @@ def test_bench_main_emits_diagnostic_json_on_backend_failure(monkeypatch, capsys
     assert payload["metric"] == "eeg_windows_per_sec_per_chip_filter_lstm_fwd_bwd"
 
 
+def test_bench_failure_line_reemits_last_green(monkeypatch, capsys, tmp_path):
+    """VERDICT r4 #7: a dead-tunnel bench run must carry the best-known
+    verified number with provenance in the same JSON line, not just null."""
+    ledger = tmp_path / "lastgreen.json"
+    ledger.write_text(json.dumps({
+        "value": 135369.3, "unit": "windows/s", "vs_baseline": 7259.02,
+        "timestamp_utc": "2026-08-17T08:04:21Z", "git_sha": "12462e7",
+        "recorded_by": "BENCH_r02.json (driver)",
+    }))
+    monkeypatch.setattr(bench, "LASTGREEN_PATH", str(ledger))
+    monkeypatch.setattr(
+        bench, "measure_torch_baseline",
+        lambda: {"windows_per_s": 1.0, "windows_per_s_b1024": 1.0},
+    )
+
+    def dead_backend(*a, **k):
+        raise RuntimeError("tunnel unavailable")
+
+    monkeypatch.setattr(bench, "wait_for_backend", dead_backend)
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 3
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    payload = json.loads(out[0])
+    assert payload["value"] is None
+    assert payload["last_green"]["value"] == 135369.3
+    assert payload["last_green"]["git_sha"] == "12462e7"
+    assert payload["last_green"]["timestamp_utc"].endswith("Z")
+
+
+def test_measure_jax_bounded_kills_hung_child(monkeypatch, tmp_path):
+    """ADVICE r4: the SIGALRM watchdog cannot fire while a dead tunnel blocks
+    in a C call — the bound must live OUT of process. A child that hangs (and
+    spawns a stdio-inheriting grandchild, the relay-helper failure mode) must
+    be killed at the timeout with the whole process group."""
+    fake = tmp_path / "fake_bench.py"
+    fake.write_text(
+        "import subprocess, sys, time\n"
+        "subprocess.Popen([sys.executable, '-c', 'import time; time.sleep(600)'])\n"
+        "time.sleep(600)\n"
+    )
+    monkeypatch.setattr(bench, "__file__", str(fake))
+    t0 = time.perf_counter()
+    with pytest.raises(TimeoutError, match="watchdog"):
+        bench.measure_jax_bounded(timeout_s=3.0)
+    assert time.perf_counter() - t0 < 30.0
+
+
+def test_measure_jax_bounded_parses_child_result(monkeypatch, tmp_path):
+    fake = tmp_path / "fake_bench.py"
+    fake.write_text("print('CHILD_RESULT={\"wps\": 123.5}')\n")
+    monkeypatch.setattr(bench, "__file__", str(fake))
+    assert bench.measure_jax_bounded(timeout_s=60.0) == 123.5
+
+
+def test_bench_green_run_writes_last_green_ledger(monkeypatch, capsys, tmp_path):
+    """A green bench must refresh the ledger the failure path re-emits."""
+    ledger = tmp_path / "lastgreen.json"
+    monkeypatch.setattr(bench, "LASTGREEN_PATH", str(ledger))
+    monkeypatch.setattr(
+        bench, "measure_torch_baseline",
+        lambda: {"windows_per_s": 10.0, "windows_per_s_b1024": 20.0},
+    )
+    monkeypatch.setattr(bench, "wait_for_backend", lambda: None)
+    monkeypatch.setattr(bench, "measure_jax_bounded", lambda timeout_s: 170000.0)
+    bench.main()
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["value"] == 170000.0
+    assert payload["vs_baseline"] == 8500.0
+    rec = json.loads(ledger.read_text())
+    assert rec["value"] == 170000.0 and rec["git_sha"]
+
+
 @pytest.mark.slow
 def test_cpu_env_cli_runs_under_dead_tunnel(hang_env, monkeypatch):
     """JAX_PLATFORMS=cpu must select CPU for EVERY CLI even though the site
