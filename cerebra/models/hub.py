@@ -31,20 +31,29 @@ import numpy as np
 _DINO_BASE = "https://dl.fbaipublicfiles.com/dino/"
 
 # (model_name, patch_size) → backbone weight URL — utils/utils.py:85-104.
-PRETRAINED_URLS: Dict[Tuple[str, int], str] = {
+# A key of patch_size=None matches on model_name ALONE: the reference's
+# elif-chain ignores patch_size for the xcit and resnet50 rows
+# (utils/utils.py:94-104), so e.g. ("xcit_small_12_p16", patch_size=8)
+# still resolves the p16 URL there.
+PRETRAINED_URLS: Dict[Tuple[str, Optional[int]], str] = {
     ("vit_small", 16): _DINO_BASE + "dino_deitsmall16_pretrain/dino_deitsmall16_pretrain.pth",
     ("vit_small", 8): _DINO_BASE + "dino_deitsmall8_pretrain/dino_deitsmall8_pretrain.pth",
     ("vit_base", 16): _DINO_BASE + "dino_vitbase16_pretrain/dino_vitbase16_pretrain.pth",
     ("vit_base", 8): _DINO_BASE + "dino_vitbase8_pretrain/dino_vitbase8_pretrain.pth",
-    ("resnet50", 0): _DINO_BASE + "dino_resnet50_pretrain/dino_resnet50_pretrain.pth",
-    # the xcit rows exist for URL parity (hubconf.py:99-151); the reference
-    # pulls the ARCHITECTURE itself from the external facebookresearch/xcit
-    # hub repo, which is out of tree there and unimplemented here
-    ("xcit_small_12_p16", 16): _DINO_BASE + "dino_xcit_small_12_p16_pretrain/dino_xcit_small_12_p16_pretrain.pth",
-    ("xcit_small_12_p8", 8): _DINO_BASE + "dino_xcit_small_12_p8_pretrain/dino_xcit_small_12_p8_pretrain.pth",
-    ("xcit_medium_24_p16", 16): _DINO_BASE + "dino_xcit_medium_24_p16_pretrain/dino_xcit_medium_24_p16_pretrain.pth",
-    ("xcit_medium_24_p8", 8): _DINO_BASE + "dino_xcit_medium_24_p8_pretrain/dino_xcit_medium_24_p8_pretrain.pth",
+    ("resnet50", None): _DINO_BASE + "dino_resnet50_pretrain/dino_resnet50_pretrain.pth",
+    ("xcit_small_12_p16", None): _DINO_BASE + "dino_xcit_small_12_p16_pretrain/dino_xcit_small_12_p16_pretrain.pth",
+    ("xcit_small_12_p8", None): _DINO_BASE + "dino_xcit_small_12_p8_pretrain/dino_xcit_small_12_p8_pretrain.pth",
+    ("xcit_medium_24_p16", None): _DINO_BASE + "dino_xcit_medium_24_p16_pretrain/dino_xcit_medium_24_p16_pretrain.pth",
+    ("xcit_medium_24_p8", None): _DINO_BASE + "dino_xcit_medium_24_p8_pretrain/dino_xcit_medium_24_p8_pretrain.pth",
 }
+
+
+def _url_for(model_name: str, patch_size: int) -> Optional[str]:
+    """utils/utils.py:85-104 elif-chain: exact (name, patch) rows first,
+    then the name-only rows (xcit/resnet50, where patch_size is ignored)."""
+    return PRETRAINED_URLS.get(
+        (model_name, patch_size), PRETRAINED_URLS.get((model_name, None))
+    )
 
 # (model_name, patch_size) → linear-probe weight URL — utils/utils.py:113-124.
 LINEAR_URLS: Dict[Tuple[str, int], str] = {
@@ -140,7 +149,7 @@ def dino_resnet50(pretrained: bool = True, seed: int = 0):
     from cerebra.models.resnet import import_torchvision_resnet50, resnet50
 
     model = resnet50(num_classes=0)
-    sd = _fetch_state_dict(PRETRAINED_URLS[("resnet50", 0)]) if pretrained else None
+    sd = _fetch_state_dict(PRETRAINED_URLS[("resnet50", None)]) if pretrained else None
     if sd is not None:
         variables = import_torchvision_resnet50(sd, num_classes=0)
     else:
@@ -149,6 +158,45 @@ def dino_resnet50(pretrained: bool = True, seed: int = 0):
                   "We use random weights.")
         variables = model.init(jax.random.key(seed), jnp.zeros((1, 224, 224, 3)), train=False)
     return model, variables
+
+
+def _build_xcit(name: str, pretrained: bool, seed: int, img_size: int):
+    """dino_xcit_* hub constructors (dino/hubconf.py:98-151): the reference
+    pulls the architecture from the external facebookresearch/xcit repo; here
+    it is native flax (cerebra.models.xcit). Returns (module, variables)
+    where variables carries params+batch_stats (conv-tower/LPI BatchNorms)."""
+    from cerebra.models.xcit import XCIT_CONSTRUCTORS, import_xcit_torch
+
+    model = XCIT_CONSTRUCTORS[name]()
+    sd = _fetch_state_dict(PRETRAINED_URLS[(name, None)]) if pretrained else None
+    if sd is not None:
+        variables = import_xcit_torch(sd, depth=model.depth, patch_size=model.patch_size)
+    else:
+        if pretrained:
+            print("There is no reference weights available for this model => "
+                  "We use random weights.")
+        variables = model.init(jax.random.key(seed), jnp.zeros((1, img_size, img_size, 3)))
+    return model, variables
+
+
+def dino_xcit_small_12_p16(pretrained: bool = True, img_size: int = 224, seed: int = 0):
+    """XCiT-S12/16 DINO (dino/hubconf.py:98-110)."""
+    return _build_xcit("xcit_small_12_p16", pretrained, seed, img_size)
+
+
+def dino_xcit_small_12_p8(pretrained: bool = True, img_size: int = 224, seed: int = 0):
+    """XCiT-S12/8 DINO (dino/hubconf.py:112-124)."""
+    return _build_xcit("xcit_small_12_p8", pretrained, seed, img_size)
+
+
+def dino_xcit_medium_24_p16(pretrained: bool = True, img_size: int = 224, seed: int = 0):
+    """XCiT-M24/16 DINO (dino/hubconf.py:126-138)."""
+    return _build_xcit("xcit_medium_24_p16", pretrained, seed, img_size)
+
+
+def dino_xcit_medium_24_p8(pretrained: bool = True, img_size: int = 224, seed: int = 0):
+    """XCiT-M24/8 DINO (dino/hubconf.py:140-151)."""
+    return _build_xcit("xcit_medium_24_p8", pretrained, seed, img_size)
 
 
 def dinov2_vits14(pretrained: bool = True, img_size: int = 518, seed: int = 0):
@@ -175,6 +223,10 @@ HUB: Dict[str, Callable] = {
     "dino_vitb16": dino_vitb16,
     "dino_vitb8": dino_vitb8,
     "dino_resnet50": dino_resnet50,
+    "dino_xcit_small_12_p16": dino_xcit_small_12_p16,
+    "dino_xcit_small_12_p8": dino_xcit_small_12_p8,
+    "dino_xcit_medium_24_p16": dino_xcit_medium_24_p16,
+    "dino_xcit_medium_24_p8": dino_xcit_medium_24_p8,
     "dinov2_vits14": dinov2_vits14,
 }
 
@@ -204,13 +256,19 @@ def load_pretrained_weights(
     from cerebra.models.vit import import_vit_torch
 
     def _import(sd):
-        """ViT archs map onto the flax VisionTransformer; the non-ViT rows
-        of the URL table (resnet50, xcit_*) have no flax importer here —
-        return their raw state dict like the reference's model-agnostic
-        load_state_dict (utils/utils.py:84-107) rather than crashing in
-        import_vit_torch (KeyError 'cls_token')."""
+        """ViT archs map onto the flax VisionTransformer and return bare
+        params; xcit archs map onto cerebra.models.xcit and return the full
+        variables dict (params+batch_stats). The remaining non-ViT row of
+        the URL table (resnet50) has no importer here — return its raw state
+        dict like the reference's model-agnostic load_state_dict
+        (utils/utils.py:84-107) rather than crashing in import_vit_torch."""
         if model_name.startswith("vit_"):
             return import_vit_torch(sd, depth=depth)["params"]
+        if model_name.startswith("xcit_"):
+            from cerebra.models.xcit import XCIT_CONSTRUCTORS, import_xcit_torch
+
+            m = XCIT_CONSTRUCTORS[model_name]()
+            return import_xcit_torch(sd, depth=m.depth, patch_size=m.patch_size)
         print(f"{model_name} has no flax importer; returning the raw torch "
               "state dict for the caller's own importer.")
         return sd
@@ -228,7 +286,7 @@ def load_pretrained_weights(
         return params
     print("Please use the `--pretrained_weights` argument to indicate the "
           "path of the checkpoint to evaluate.")
-    url = PRETRAINED_URLS.get((model_name, patch_size))
+    url = _url_for(model_name, patch_size)
     sd = _fetch_state_dict(url) if url else None
     if sd is not None:
         print("Since no pretrained weights have been provided, we load the "
