@@ -51,8 +51,25 @@ class ImageSource:
     def stratified_split(
         self, test_size: float = 0.2, seed: int = 43
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Per-class proportional 80/20 split (the StratifiedShuffleSplit of
-        utils/Caltech101Dataset.py:56-74)."""
+        """Seeded sklearn StratifiedShuffleSplit — EXACT reference semantics
+        (utils/Caltech101Dataset.py:56-74): same indices in sklearn's own
+        order at the same seed (the reference builds its subset lists from
+        the unsorted train_index/test_index). Host-side split, so sklearn is
+        fine here; a per-class proportional numpy split (sorted indices)
+        stands in when sklearn is unavailable."""
+        try:
+            from sklearn.model_selection import StratifiedShuffleSplit
+        except Exception:
+            return self._proportional_split(test_size, seed)
+        sss = StratifiedShuffleSplit(n_splits=1, test_size=test_size, random_state=seed)
+        train_idx, test_idx = next(sss.split(np.zeros(self.n), self.labels))
+        return train_idx.astype(np.int64), test_idx.astype(np.int64)
+
+    def _proportional_split(
+        self, test_size: float, seed: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """sklearn-free fallback: per-class proportional split (same protocol,
+        different indices at the same seed — documented delta)."""
         rng = np.random.default_rng(seed)
         train_idx, test_idx = [], []
         for c in np.unique(self.labels):
