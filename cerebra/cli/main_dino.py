@@ -56,6 +56,11 @@ def main(argv=None):
                         help="fused Pallas attention half-block in every ViT block")
     parser.add_argument("--drop_path_rate", type=float, default=0.1,
                         help="student stochastic depth (dino/main_dino.py:105)")
+    parser.add_argument("--fused_attn_pad", type=int, default=16,
+                        help="Mosaic seq-pad multiple for --use_fused_attn "
+                             "(retry 128 if the TPU rejects a partial tile)")
+    parser.add_argument("--fused_mlp_tile_m", type=int, default=256,
+                        help="token-tile height for --use_fused_mlp")
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     init_distributed()
@@ -78,6 +83,7 @@ def main(argv=None):
         use_flash=FLAGS.use_flash, remat=FLAGS.remat,
         use_fused_mlp=FLAGS.use_fused_mlp, use_fused_attn=FLAGS.use_fused_attn,
         drop_path_rate=FLAGS.drop_path_rate,
+        fused_attn_pad=FLAGS.fused_attn_pad, fused_mlp_tile_m=FLAGS.fused_mlp_tile_m,
     )
     # stimulus images: not bundled — locals fall back to EEG-image crops
     state, hist = dino_vit_train(

@@ -191,7 +191,11 @@ def greedy_channel_discovery(
     ~2.4k query → D alone is ~11.7 GB f32): candidate recalls are evaluated
     in channel chunks, so the transient accum+D tensor is (chunk, Nq, Ng)
     instead of the full (C, Nq, Ng). None (default) evaluates all channels
-    in one call, identical to before.
+    in one call, identical to before. A chunk that does not divide C is
+    fine: the final slice is zero-padded to the full chunk width so every
+    call shares ONE jit signature (a ragged last chunk would otherwise cost
+    a second 60-300 s remote compile on the tunneled TPU), and the padded
+    rows' recalls are discarded.
     """
     C = gallery.shape[-1]
     if n_classes is None:
@@ -210,15 +214,16 @@ def greedy_channel_discovery(
     best_so_far = -np.inf
     taken = np.zeros(C, dtype=bool)
 
+    def eval_chunk(c0: int) -> np.ndarray:
+        Dc = D[c0 : c0 + chunk]
+        if Dc.shape[0] != chunk:  # pad ONLY the last slice (never copy all of D)
+            Dc = jnp.pad(Dc, ((0, chunk - Dc.shape[0]), (0, 0), (0, 0)))
+        return np.asarray(_chunk_recall(Dc, accum, g_lab, q_lab, top_k, n_classes))
+
     for _ in range(max_channels):
         cand_recall = np.concatenate(
-            [
-                np.asarray(
-                    _chunk_recall(D[c0 : c0 + chunk], accum, g_lab, q_lab, top_k, n_classes)
-                )
-                for c0 in range(0, C, chunk)
-            ]
-        )
+            [eval_chunk(c0) for c0 in range(0, C, chunk)]
+        )[:C]
         cand_recall[taken] = -np.inf
         per_iteration.append(cand_recall.copy())
         best_c = int(np.argmax(cand_recall))

@@ -176,6 +176,14 @@ class Block(nn.Module):
     # Identical param tree; engaged only when the attention map is not
     # needed and drop_path is inactive.
     use_fused_attn: bool = False
+    # Mosaic lowering knobs for the fused kernels (interpret-mode tests
+    # cannot see lowering rejections — CLAUDE.md blind spot): the sequence
+    # pad multiple for the fused attention half-block and the token-tile
+    # height for the fused MLP half-block. Exposed so a real-TPU rejection
+    # (e.g. a %16 partial tile) has a flag-level workaround (retry pad=128)
+    # without a code change.
+    fused_attn_pad: int = 16
+    fused_mlp_tile_m: int = 256
 
     @nn.compact
     def __call__(
@@ -200,7 +208,8 @@ class Block(nn.Module):
             # x keeps its stream dtype (f32 residual stream under bf16
             # compute, like the unfused x + Attention(dtype=bf16)(...))
             x = fused_attn_residual(
-                x, g, b, wqkv, bqkv, wproj, bproj, self.num_heads, 16, self.dtype
+                x, g, b, wqkv, bqkv, wproj, bproj, self.num_heads,
+                self.fused_attn_pad, self.dtype,
             )
         else:
             y, attn = Attention(
@@ -240,7 +249,8 @@ class Block(nn.Module):
             # x keeps its stream dtype; only the branch matmuls run in
             # self.dtype (flax Dense(dtype=...) semantics)
             out = fused_mlp_residual(
-                x.reshape(B * N, D), g, b, w1, b1, w2, b2, 256, self.dtype
+                x.reshape(B * N, D), g, b, w1, b1, w2, b2,
+                self.fused_mlp_tile_m, self.dtype,
             )
             return out.reshape(B, N, D)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -275,6 +285,8 @@ class VisionTransformer(nn.Module):
     use_flash: bool = False  # Pallas flash attention on TPU (globals only)
     use_fused_mlp: bool = False  # fused Pallas MLP half-block (pallas_vit_mlp)
     use_fused_attn: bool = False  # fused Pallas attention half-block (pallas_vit_attn)
+    fused_attn_pad: int = 16  # Mosaic seq-pad multiple for the fused attention
+    fused_mlp_tile_m: int = 256  # token-tile height for the fused MLP
     # jax.checkpoint each block (save only matmul outputs): trades GELU/LN/
     # softmax recompute for the backward's saved-activation HBM streams.
     remat: bool = False
@@ -321,6 +333,8 @@ class VisionTransformer(nn.Module):
                 layer_scale=self.layer_scale, dtype=self.dtype,
                 use_flash=self.use_flash, use_fused_mlp=self.use_fused_mlp,
                 use_fused_attn=self.use_fused_attn,
+                fused_attn_pad=self.fused_attn_pad,
+                fused_mlp_tile_m=self.fused_mlp_tile_m,
                 name=f"block_{i}",
             )
             if return_attention_of_last_block and i == self.depth - 1:

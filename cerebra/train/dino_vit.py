@@ -69,6 +69,10 @@ class DinoVitConfig:
     use_fused_mlp: bool = False
     # fused Pallas attention half-block in every ViT block (pallas_vit_attn).
     use_fused_attn: bool = False
+    # Mosaic lowering knobs for the fused kernels (flag-level workaround if
+    # the real TPU rejects a partial tile — retry fused_attn_pad=128).
+    fused_attn_pad: int = 16
+    fused_mlp_tile_m: int = 256
     # student stochastic depth (dino/main_dino.py:105 default 0.1; the
     # teacher is built WITHOUT drop path, :183-190). Blocks with an active
     # drop_path keep the XLA path during training (the fused kernels add
@@ -82,6 +86,7 @@ def build_vit(cfg: DinoVitConfig, drop_path_rate: float = 0.0) -> VisionTransfor
         patch_size=cfg.patch_size, img_size=cfg.global_size, dtype=cfg.dtype,
         use_flash=cfg.use_flash, remat=cfg.remat, use_fused_mlp=cfg.use_fused_mlp,
         use_fused_attn=cfg.use_fused_attn, drop_path_rate=drop_path_rate,
+        fused_attn_pad=cfg.fused_attn_pad, fused_mlp_tile_m=cfg.fused_mlp_tile_m,
     )
 
 

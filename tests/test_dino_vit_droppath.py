@@ -30,6 +30,59 @@ def test_student_drop_path_changes_training_and_stays_finite():
     assert not np.allclose(hist0["loss"], hist1["loss"])
 
 
+def test_student_dropout_keys_differ_per_view_group():
+    """ADVICE r4: two student view groups with the SAME token height must get
+    distinct drop-path rng (the reference draws fresh randomness per
+    forward) — the per-group fold_in in make_dino_step's stochastic path."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cerebra.train.steps import DinoTrainState, make_dino_step
+
+    E, D = 4, 8
+
+    def backbone_apply(p, x):
+        return x.reshape(x.shape[0], -1) @ p["params"]["w"]
+
+    def head_apply(p, f):
+        return f @ p["params"]["wh"]
+
+    seen = []
+
+    def student_apply(p, x, key):
+        seen.append(key)  # concrete at trace time: key flows from outside grad
+        return backbone_apply(p, x)
+
+    params = {
+        "backbone": {"w": jnp.ones((6, E)) * 0.1},
+        "head": {"wh": jnp.ones((E, D)) * 0.1},
+    }
+    tx = optax.sgd(0.1)
+
+    def view_fn(key, batch):  # two groups with IDENTICAL view shapes
+        return [batch[:, :2].swapaxes(0, 1), batch[:, 2:4].swapaxes(0, 1)]
+
+    step = make_dino_step(
+        backbone_apply, head_apply, tx,
+        lr_schedule=jnp.ones(10) * 0.1, wd_schedule=jnp.zeros(10),
+        momentum_schedule=jnp.full(10, 0.99),
+        teacher_temp_by_epoch=jnp.full(10, 0.04), niter_per_ep=5,
+        view_fn=view_fn, jit=False, student_backbone_apply=student_apply,
+    )
+    state = DinoTrainState(
+        step=jnp.zeros([], jnp.int32), student_params=params,
+        teacher_params=jax.tree.map(jnp.copy, params),
+        opt_state=tx.init(params), center=jnp.zeros((1, D)),
+    )
+    batch = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4, 2, 3)), jnp.float32)
+    new_state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert len(seen) == 2
+    k0, k1 = (np.asarray(jax.random.key_data(k)) for k in seen[:2])
+    assert not np.array_equal(k0, k1)
+
+
 def test_main_dino_cli_exposes_reference_drop_path_flag():
     import cerebra.cli.main_dino as cli
 

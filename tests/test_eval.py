@@ -246,8 +246,15 @@ def test_greedy_discovery_channel_chunk_equivalent():
     gl = rng.integers(0, 4, 40).astype(np.int32)
     ql = rng.integers(0, 4, 20).astype(np.int32)
     a = greedy_channel_discovery(g, q, gl, ql, max_channels=4, stop_on_no_improvement=False)
+
+    from cerebra.eval import channel_discovery as cd
+
+    cd._chunk_recall._clear_cache()
     b = greedy_channel_discovery(
         g, q, gl, ql, max_channels=4, stop_on_no_improvement=False, channel_chunk=3
     )
     assert a.selected == b.selected
     assert a.recalls == b.recalls
+    # ADVICE r4: the ragged last chunk (8 % 3 = 2) must be padded to the full
+    # chunk width — ONE jit signature, not a second 60-300 s remote compile
+    assert cd._chunk_recall._cache_size() == 1
