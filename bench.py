@@ -253,48 +253,34 @@ def _save_last_green(value: float, vs_baseline: float) -> None:
         "git_sha": _git_sha(),
         "recorded_by": "bench.py (green run on real device)",
     }
-    with open(LASTGREEN_PATH, "w") as f:
-        json.dump(rec, f)
+    try:  # best-effort ledger: a read-only checkout must not cost the
+        with open(LASTGREEN_PATH, "w") as f:  # green run its JSON line
+            json.dump(rec, f)
+    except OSError as e:
+        log(f"last-green ledger write failed (non-fatal): {e}")
 
 
 def measure_jax_bounded(timeout_s: float) -> float:
-    """Run measure_jax in a BOUNDED child process (own session, output to a
-    temp FILE — never a pipe: a half-up axon tunnel leaves relay helpers
-    holding the child's stdio open, see __graft_entry__._probe_real_devices).
+    """Run measure_jax in a BOUNDED child process via
+    __graft_entry__.run_bounded_subprocess (own session, temp-file stdio,
+    killpg on timeout — see its docstring for the half-up-tunnel rationale).
 
     A SIGALRM watchdog in this process cannot fire while a dead tunnel blocks
     inside the jax runtime's C calls (signals are only delivered between
-    bytecodes), so the bound lives OUT of process: wait(timeout) then kill
-    the child's whole process group."""
-    import signal as _signal
-    import tempfile
+    bytecodes), so the bound lives OUT of process."""
+    sys.path.insert(0, _REPO)
+    from __graft_entry__ import run_bounded_subprocess
 
-    with tempfile.TemporaryFile(mode="w+") as out:
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child-jax"],
-            stdout=out, stderr=subprocess.STDOUT, text=True,
-            env=dict(os.environ), start_new_session=True, cwd=_REPO,
-        )
-        try:
-            rc = proc.wait(timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            try:
-                os.killpg(proc.pid, _signal.SIGKILL)
-            except (ProcessLookupError, PermissionError):
-                proc.kill()
-            try:
-                proc.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                pass
-            out.seek(0)
-            log(out.read())
-            raise TimeoutError(
-                f"jax measurement exceeded the {timeout_s:.0f}s watchdog "
-                "(tunnel died mid-measurement?)"
-            )
-        out.seek(0)
-        text = out.read()
+    rc, text = run_bounded_subprocess(
+        [sys.executable, os.path.abspath(__file__), "--child-jax"],
+        timeout_s=timeout_s, cwd=_REPO,
+    )
     log(text)
+    if rc is None:
+        raise TimeoutError(
+            f"jax measurement exceeded the {timeout_s:.0f}s watchdog "
+            "(tunnel died mid-measurement?)"
+        )
     if rc != 0:
         raise RuntimeError(f"jax measurement child exited rc={rc}")
     for line in text.splitlines():

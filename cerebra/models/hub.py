@@ -56,12 +56,13 @@ def _url_for(model_name: str, patch_size: int) -> Optional[str]:
     )
 
 # (model_name, patch_size) → linear-probe weight URL — utils/utils.py:113-124.
-LINEAR_URLS: Dict[Tuple[str, int], str] = {
+# The resnet50 row matches by name alone there too (:122-124), hence None.
+LINEAR_URLS: Dict[Tuple[str, Optional[int]], str] = {
     ("vit_small", 16): _DINO_BASE + "dino_deitsmall16_pretrain/dino_deitsmall16_linearweights.pth",
     ("vit_small", 8): _DINO_BASE + "dino_deitsmall8_pretrain/dino_deitsmall8_linearweights.pth",
     ("vit_base", 16): _DINO_BASE + "dino_vitbase16_pretrain/dino_vitbase16_linearweights.pth",
     ("vit_base", 8): _DINO_BASE + "dino_vitbase8_pretrain/dino_vitbase8_linearweights.pth",
-    ("resnet50", 0): _DINO_BASE + "dino_resnet50_pretrain/dino_resnet50_linearweights.pth",
+    ("resnet50", None): _DINO_BASE + "dino_resnet50_pretrain/dino_resnet50_linearweights.pth",
 }
 
 # DINOv2 teacher (LstmDistillFromDinoV2Train.py:144-146 torch.hub call)
@@ -170,7 +171,10 @@ def _build_xcit(name: str, pretrained: bool, seed: int, img_size: int):
     model = XCIT_CONSTRUCTORS[name]()
     sd = _fetch_state_dict(PRETRAINED_URLS[(name, None)]) if pretrained else None
     if sd is not None:
-        variables = import_xcit_torch(sd, depth=model.depth, patch_size=model.patch_size)
+        variables = import_xcit_torch(
+            sd, depth=model.depth, patch_size=model.patch_size,
+            cls_attn_layers=model.cls_attn_layers,
+        )
     else:
         if pretrained:
             print("There is no reference weights available for this model => "
@@ -246,8 +250,11 @@ def load_pretrained_weights(
     checkpoint_key: Optional[str] = "teacher",
     depth: int = 12,
 ) -> Optional[dict]:
-    """utils/utils.py:71-109 semantics → flax backbone params (or None for
-    the final "random weights" branch, so callers keep their init):
+    """utils/utils.py:71-109 semantics. Returns None for the final "random
+    weights" branch (callers keep their init). Return shape is per family:
+    vit_* → bare flax params; xcit_* → the FULL variables dict
+    ({"params", "batch_stats"} — the conv tower/LPI BatchNorms need both);
+    anything else → the raw torch state dict for the caller's own importer.
 
     1. `pretrained_weights` names a local file: torch.load, select
        `checkpoint_key` if present, strip `module./backbone.`, import.
@@ -268,7 +275,10 @@ def load_pretrained_weights(
             from cerebra.models.xcit import XCIT_CONSTRUCTORS, import_xcit_torch
 
             m = XCIT_CONSTRUCTORS[model_name]()
-            return import_xcit_torch(sd, depth=m.depth, patch_size=m.patch_size)
+            return import_xcit_torch(
+                sd, depth=m.depth, patch_size=m.patch_size,
+                cls_attn_layers=m.cls_attn_layers,
+            )
         print(f"{model_name} has no flax importer; returning the raw torch "
               "state dict for the caller's own importer.")
         return sd
@@ -300,7 +310,7 @@ def load_pretrained_weights(
 def load_pretrained_linear_weights(model_name: str, patch_size: int) -> Optional[dict]:
     """utils/utils.py:112-129 → {"kernel": (in, out), "bias": (out,)} flax
     Dense params for the linear probe, or None ("random linear weights")."""
-    url = LINEAR_URLS.get((model_name, patch_size))
+    url = LINEAR_URLS.get((model_name, patch_size), LINEAR_URLS.get((model_name, None)))
     sd = _fetch_state_dict(url) if url else None
     if sd is None:
         print("We use random linear weights.")

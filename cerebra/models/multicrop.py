@@ -16,9 +16,10 @@ import jax.numpy as jnp
 
 
 def multicrop_forward(
-    backbone: Callable[[jax.Array], jax.Array],
+    backbone: Callable[..., jax.Array],
     head: Callable[[jax.Array], jax.Array],
     view_groups: Sequence[jax.Array],
+    backbone_takes_group_index: bool = False,
 ) -> jax.Array:
     """Run `backbone` once per same-length view group and `head` once on the
     concatenated features.
@@ -27,10 +28,15 @@ def multicrop_forward(
     may differ between groups — temporal crops, image crops, ...). Returns
     (total_views · B, out_dim), views ordered group-by-group then
     view-by-view — matching the reference's cat order.
+
+    With `backbone_takes_group_index`, the backbone is called as
+    ``backbone(flat, group_index)`` — stochastic students fold the index
+    into their dropout rng so same-shape groups get distinct masks, while
+    the group/view ordering stays defined HERE for every caller.
     """
     feats = []
-    for group in view_groups:
+    for gi, group in enumerate(view_groups):
         n_views, B = group.shape[:2]
         flat = group.reshape((n_views * B,) + group.shape[2:])
-        feats.append(backbone(flat))
+        feats.append(backbone(flat, gi) if backbone_takes_group_index else backbone(flat))
     return head(jnp.concatenate(feats, axis=0))

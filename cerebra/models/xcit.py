@@ -353,7 +353,9 @@ def _dense(sd, prefix):
     return {"kernel": sd[prefix + ".weight"].T, "bias": sd[prefix + ".bias"]}
 
 
-def import_xcit_torch(state_dict, depth: int = 12, patch_size: int = 16) -> dict:
+def import_xcit_torch(
+    state_dict, depth: int = 12, patch_size: int = 16, cls_attn_layers: int = 2
+) -> dict:
     """Upstream facebookresearch/xcit state dict → flax variables for XCiT.
 
     Key layout: `patch_embed.proj.{0,2,4,6}.{0,1}.*` (conv towers are
@@ -417,7 +419,7 @@ def import_xcit_torch(state_dict, depth: int = 12, patch_size: int = 16) -> dict
         }
         stats[f"block_{i}"] = {"local_mp": {"bn": bn_s}}
 
-    for i in range(2):
+    for i in range(cls_attn_layers):
         b = f"cls_attn_blocks.{i}."
         params[f"cls_block_{i}"] = {
             "gamma1": sd[b + "gamma1"],

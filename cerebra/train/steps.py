@@ -141,25 +141,20 @@ def make_dino_step(
         teacher_out = jax.lax.stop_gradient(teacher_out)
 
         def compute_loss(student_params):
+            s_head = lambda f: head_apply(params_of(student_params["head"]), f)
             if student_backbone_apply is not None:
-                # one stochastic forward per resolution group with a
                 # per-GROUP dropout key (fold the group index in: two groups
                 # with the same token height must not share drop-path masks
                 # — the reference draws fresh randomness per forward)
-                feats = []
-                for gi, group in enumerate(groups):
-                    n_views_g, Bg = group.shape[:2]
-                    flat = group.reshape((n_views_g * Bg,) + group.shape[2:])
-                    feats.append(student_backbone_apply(
-                        params_of(student_params["backbone"]), flat,
-                        jax.random.fold_in(drop_key, gi),
-                    ))
-                student_out = head_apply(
-                    params_of(student_params["head"]), jnp.concatenate(feats, axis=0)
+                s_backbone = lambda x, gi: student_backbone_apply(
+                    params_of(student_params["backbone"]), x,
+                    jax.random.fold_in(drop_key, gi),
+                )
+                student_out = multicrop_forward(
+                    s_backbone, s_head, groups, backbone_takes_group_index=True
                 )
             else:
                 s_backbone = lambda x: backbone_apply(params_of(student_params["backbone"]), x)
-                s_head = lambda f: head_apply(params_of(student_params["head"]), f)
                 student_out = multicrop_forward(s_backbone, s_head, groups)
             student_out = student_out.reshape(n_crops, B, -1)
             loss, new_center = dino_multicrop_loss(

@@ -217,6 +217,8 @@ def _randomize(model: torch.nn.Module, seed: int = 0):
 # --------------------------------------------------------------------- tests
 
 
+@pytest.mark.slow  # full-model CPU compiles; the fast mirror-parity guard is
+# test_tokens_norm_false_branch_matches_mirror (1 block, 16 px)
 @pytest.mark.parametrize("patch", [16, 8])
 def test_torch_mirror_parity(patch):
     """flax XCiT(import_xcit_torch(mirror.state_dict())) must reproduce the
@@ -285,6 +287,7 @@ def test_constructor_configs(name):
     assert m.eta == (1.0 if small else 1e-5)
 
 
+@pytest.mark.slow  # 12-block full-size init+apply compile
 def test_small_p16_forward_shapes():
     """Full-size config on a small image (pos encoding adapts to the grid)."""
     m = xcit_small_12_p16()
@@ -296,6 +299,7 @@ def test_small_p16_forward_shapes():
     assert tokens.shape == (2, 1 + 16, 384)  # 64/16=4 → 4×4 patches + CLS
 
 
+@pytest.mark.slow  # full xcit_small init compile via the hub path
 def test_hub_builds_xcit_names():
     """dino/hubconf.py:98-151 parity: the four hub names now BUILD models
     (VERDICT r4 missing #1) instead of carrying URL rows only."""
@@ -317,3 +321,8 @@ def test_url_table_matches_xcit_by_name_alone():
     assert _url_for("resnet50", 16) is not None
     assert _url_for("vit_small", 16) != _url_for("vit_small", 8)
     assert _url_for("nonexistent", 16) is None
+    # the LINEAR table's resnet50 row matches by name alone too
+    # (utils/utils.py:122-124)
+    from cerebra.models.hub import LINEAR_URLS
+
+    assert LINEAR_URLS.get(("resnet50", 16), LINEAR_URLS.get(("resnet50", None)))
