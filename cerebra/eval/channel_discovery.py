@@ -122,13 +122,19 @@ def best_window_sweep(
     `for iteration in range(0,480,1)` loop at :196-199, i.e. every
     BASELINE.md number).
 
-    Vectorization: squared L2 over a window [s, s+w) is additive over
-    timepoints, so per channel we build the per-timepoint distance tensor
-    (T, Nq, Ng) once, prefix-sum over T, difference to get every window's
-    distances, and batch the top-k over all windows — one device call per
-    channel instead of T·C faiss index rebuilds.
+    Vectorization: squared L2 over a window [s, s+w) decomposes as
+    ‖q_w‖² − 2·q_w·g_wᵀ + ‖g_w‖², so per channel a `lax.scan` over window
+    starts computes each window's (Nq, Ng) distances with ONE MXU GEMM —
+    one device call per channel instead of T·C faiss index rebuilds, with
+    peak memory (Nq, Ng) regardless of T. (The earlier per-timepoint
+    (T, Nq, Ng) prefix-sum tensor was ~42 GB at full Spampinato scale —
+    9572×2393×460 — and OOM'd device HBM.)
     """
     Ng, T, C = gallery.shape
+    if not 1 <= width <= T:
+        raise ValueError(f"window width {width} must be in [1, T={T}]")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     if n_classes is None:
         n_classes = int(max(gallery_labels.max(), query_labels.max())) + 1
     starts = np.arange(0, T - width + 1, stride)
@@ -138,12 +144,18 @@ def best_window_sweep(
 
     @functools.partial(jax.jit, static_argnames=())
     def sweep_channel(g_c, q_c):  # (Ng, T), (Nq, T)
-        dt = (q_c.T[:, :, None] - g_c.T[:, None, :]) ** 2  # (T, Nq, Ng)
-        cums = jnp.concatenate(
-            [jnp.zeros((1,) + dt.shape[1:], dt.dtype), jnp.cumsum(dt, axis=0)], axis=0
-        )
-        d_windows = cums[starts_d + width] - cums[starts_d]  # (S, Nq, Ng)
-        return recall_precision_for_distances(d_windows, g_lab, q_lab, top_k, n_classes)
+        def one_window(_, s):
+            qw = jax.lax.dynamic_slice_in_dim(q_c, s, width, axis=1)  # (Nq, w)
+            gw = jax.lax.dynamic_slice_in_dim(g_c, s, width, axis=1)  # (Ng, w)
+            d = (
+                jnp.sum(qw * qw, axis=1)[:, None]
+                - 2.0 * qw @ gw.T
+                + jnp.sum(gw * gw, axis=1)[None, :]
+            )
+            return None, recall_precision_for_distances(d, g_lab, q_lab, top_k, n_classes)
+
+        _, (r, p) = jax.lax.scan(one_window, None, starts_d)
+        return r, p
 
     recalls = np.empty((C, len(starts)), dtype=np.float32)
     precisions = np.empty((C, len(starts)), dtype=np.float32)
@@ -220,7 +232,7 @@ def greedy_channel_discovery(
             Dc = jnp.pad(Dc, ((0, chunk - Dc.shape[0]), (0, 0), (0, 0)))
         return np.asarray(_chunk_recall(Dc, accum, g_lab, q_lab, top_k, n_classes))
 
-    for _ in range(max_channels):
+    for _ in range(min(max_channels, C)):  # > C would re-select channel 0
         cand_recall = np.concatenate(
             [eval_chunk(c0) for c0 in range(0, C, chunk)]
         )[:C]

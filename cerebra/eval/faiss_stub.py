@@ -56,6 +56,15 @@ class IndexFlatL2:
             else self._chunks[0]
         )
         D, I = topk_l2_native(gallery, query, int(k))
+        if D.shape[1] < int(k):  # faiss returns exactly k columns even when
+            # ntotal < k, padded with FLT_MAX distances and -1 ids
+            pad = int(k) - D.shape[1]
+            D = np.concatenate(
+                [D, np.full((len(query), pad), np.float32(3.4028235e38))], axis=1
+            )
+            I = np.concatenate(
+                [I, np.full((len(query), pad), -1, dtype=I.dtype)], axis=1
+            )
         return D, I
 
 

@@ -53,9 +53,11 @@ def build_class_scores(
     k = indices.shape[1]
     scores: Dict = {"data": {}, "metadata": metadata or {}}
     data = scores["data"]
+    # class_id_to_str is a property building a fresh dict per access — hoist
+    id2str = catalog.class_id_to_str
     for q, neigh in enumerate(indices):
         cid = int(query_class_ids[q])
-        cname = catalog.class_id_to_str[cid]
+        cname = id2str[cid]
         entry = data.setdefault(
             cname,
             {
@@ -72,7 +74,7 @@ def build_class_scores(
             },
         )
         neigh_ids = [int(gallery_class_ids[j]) for j in neigh]
-        neigh_names = [catalog.class_id_to_str[i] for i in neigh_ids]
+        neigh_names = [id2str[i] for i in neigh_ids]
         same_count = sum(1 for n in neigh_ids if n == cid)
         if cname in neigh_names:
             entry["TP"] += 1

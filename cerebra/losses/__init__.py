@@ -2,8 +2,8 @@
 
 Reference inventory (SURVEY.md §2.5) rebuilt as stateless functions; the DINO
 center EMA — the only stateful bit — is threaded explicitly and reduced with
-`psum` over the data axis instead of torch.distributed all_reduce
-(dino/main_dino.py:471-481).
+`pmean` over the data axis (≡ the reference's all_reduce-sum ÷ world_size,
+dino/main_dino.py:471-481).
 """
 
 from cerebra.losses.dino import (  # noqa: F401

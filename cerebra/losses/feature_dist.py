@@ -55,9 +55,14 @@ def feature_distribution_loss_v3(
     temperature: jax.Array | float,
 ) -> jax.Array:
     """LstmDistillFromDinoV2Eval.py:106-146 (soft-target KL · T²):
-    sum(p_T · (log p_T − log q_T)) / B · T²."""
+    sum(p_T · (log p_T − log q_T)) / B · T².
+
+    p is clipped before the log like kd.py: torch's KLDiv/xlogy treats
+    0·log 0 as 0, but jnp 0·(-inf) is NaN — an underflowed teacher softmax
+    (routine at DINO-scale temps, (x−max)/T < −104 in f32) must not poison
+    the loss."""
     T = temperature
     p = jax.nn.softmax(teacher_outputs / T, axis=-1)
     log_q = jax.nn.log_softmax(student_outputs / T, axis=-1)
     B = student_outputs.shape[0]
-    return jnp.sum(p * (jnp.log(p) - log_q)) / B * (T**2)
+    return jnp.sum(p * (jnp.log(jnp.clip(p, 1e-30)) - log_q)) / B * (T**2)

@@ -235,6 +235,50 @@ def test_best_window_log_format(tmp_path):
         assert re.fullmatch(pat, line), line
 
 
+def test_faiss_stub_pads_to_k_when_gallery_smaller():
+    """faiss returns exactly k columns even when ntotal < k (FLT_MAX / −1
+    sentinels); the stub must too, or fixed-width unpacking in reference
+    oracle code breaks."""
+    from cerebra.eval.faiss_stub import IndexFlatL2
+
+    idx = IndexFlatL2(4)
+    idx.add(np.ones((3, 4), dtype=np.float32))
+    D, I = idx.search(np.zeros((2, 4), dtype=np.float32), 5)
+    assert D.shape == (2, 5) and I.shape == (2, 5)
+    assert (I[:, 3:] == -1).all()
+    assert (D[:, 3:] > 1e37).all()
+    assert np.allclose(D[:, :3], 4.0)
+
+
+def test_greedy_discovery_never_duplicates_channels():
+    """max_channels > C with stop_on_no_improvement=False must stop after C
+    selections instead of re-selecting the argmax of an all −inf vector."""
+    from cerebra.eval import greedy_channel_discovery
+
+    rng = np.random.default_rng(5)
+    g = rng.normal(size=(20, 8, 4)).astype(np.float32)
+    q = rng.normal(size=(10, 8, 4)).astype(np.float32)
+    gl = rng.integers(0, 2, 20).astype(np.int32)
+    ql = rng.integers(0, 2, 10).astype(np.int32)
+    res = greedy_channel_discovery(
+        g, q, gl, ql, max_channels=10, stop_on_no_improvement=False
+    )
+    assert sorted(res.selected) == [0, 1, 2, 3]
+    assert np.isfinite(res.recalls).all()
+
+
+def test_best_window_sweep_rejects_bad_width():
+    from cerebra.eval.channel_discovery import best_window_sweep
+
+    g = np.zeros((4, 8, 2), dtype=np.float32)
+    q = np.zeros((3, 8, 2), dtype=np.float32)
+    labels = np.zeros(4, dtype=np.int32), np.zeros(3, dtype=np.int32)
+    with pytest.raises(ValueError, match="width"):
+        best_window_sweep(g, q, *labels, width=9, n_classes=1)
+    with pytest.raises(ValueError, match="stride"):
+        best_window_sweep(g, q, *labels, width=2, stride=0, n_classes=1)
+
+
 def test_greedy_discovery_channel_chunk_equivalent():
     """channel_chunk only bounds memory (full-Spampinato-scale sweeps); the
     greedy trajectory must be identical to the all-channels evaluation."""

@@ -145,6 +145,27 @@ def test_feature_distribution_v3_matches_torch():
     assert abs(got - want) < 1e-4
 
 
+def test_v3_finite_when_teacher_softmax_underflows():
+    """torch's KLDiv treats 0·log 0 as 0; jnp 0·(−inf) is NaN — at DINO-scale
+    temps an underflowed teacher softmax must not poison the loss. Pinned
+    against torch on the same inputs (torch.log(0)=−inf but 0·−inf→xlogy 0
+    in F.kl_div; the direct-formula reference uses softmax·log(softmax),
+    which torch evaluates as 0·(−inf)=nan too — the reference only avoids it
+    because its T warms up from 1.5; we clip like kd.py instead)."""
+    t = np.zeros((4, 8), dtype=np.float32)
+    t[:, 0] = 50.0  # (x − max)/T < −104 in f32 at T = 0.22 → exact-0 softmax
+    s = _np(31, 4, 8)
+    got = float(feature_distribution_loss_v3(jnp.asarray(s), jnp.asarray(t), 0.22))
+    assert np.isfinite(got)
+    # and the clip changes nothing when no class underflows
+    t2, T2 = _np(32, 4, 8), 2.0
+    got2 = float(feature_distribution_loss_v3(jnp.asarray(s), jnp.asarray(t2), T2))
+    soft_t = F.softmax(torch.from_numpy(t2) / T2, dim=-1)
+    soft_p = F.log_softmax(torch.from_numpy(s) / T2, dim=-1)
+    want2 = (torch.sum(soft_t * (soft_t.log() - soft_p)) / 4 * (T2**2)).item()
+    assert abs(got2 - want2) < 1e-4
+
+
 def test_hinton_kd_matches_torch():
     s, t = _np(16, 8, 12), _np(17, 8, 12)
     labels = np.arange(8) % 12
