@@ -7,7 +7,8 @@ BDF is EDF with 24-bit samples (https://www.biosemi.com/faq/file_format.htm):
   physical/digital min/max, prefiltering, samples-per-record);
 - data: records × channels × samples_per_record little-endian signed 24-bit.
 
-Values are scaled to physical units: (phys_max−phys_min)/(dig_max−dig_min).
+Values map to physical units by the spec's affine transform:
+physical = (dig − dig_min) · (phys_max−phys_min)/(dig_max−dig_min) + phys_min.
 The Status channel's raw 24-bit word carries the trigger in its low 16 bits.
 """
 
@@ -74,8 +75,17 @@ def read_raw_bdf(path: str) -> BDFData:
     vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
     data = np.transpose(vals, (1, 0, 2)).reshape(n_channels, n_records * spr)
 
-    gain = (phys_max - phys_min) / np.maximum(dig_max - dig_min, 1.0)
-    signals = (data * gain[:, None]).astype(np.float32)
+    # EDF/BDF spec: physical = (dig - dig_min) * gain + phys_min with
+    # gain = (phys_max - phys_min) / (dig_max - dig_min). The affine offset
+    # matters for any asymmetric phys/dig range, and dig_min > dig_max (the
+    # EDF sign-flip convention) yields a legitimately NEGATIVE gain — do not
+    # clamp the denominator. Degenerate dig ranges fall back to gain 1/no
+    # offset (mne's cal fallback).
+    denom = dig_max - dig_min
+    safe = np.where(denom != 0, denom, 1.0)
+    gain = np.where(denom != 0, (phys_max - phys_min) / safe, 1.0)
+    offset = np.where(denom != 0, phys_min - dig_min * gain, 0.0)
+    signals = (data * gain[:, None] + offset[:, None]).astype(np.float32)
 
     status = np.zeros(data.shape[1], dtype=np.int32)
     for i, lab in enumerate(labels):
@@ -111,7 +121,10 @@ def write_raw_bdf(
         full = np.pad(full, ((0, 0), (0, pad)))
 
     dig_rng = 1 << 23
-    gain = phys_range / dig_rng
+    # exact inverse of the reader's affine map for the declared ranges
+    # phys [-P, P], dig [-D, D-1]: gain = 2P/(2D-1), offset = -P + D*gain
+    gain = (2.0 * phys_range) / (2 * dig_rng - 1)
+    offset = -phys_range + dig_rng * gain
 
     def pad_field(s: str, width: int) -> bytes:
         return s[:width].ljust(width).encode("ascii")
@@ -138,7 +151,9 @@ def write_raw_bdf(
     hdr += all_ch(lambda i: str(spr), 8)
     hdr += all_ch(lambda i: "", 32)
 
-    dig = np.clip(np.round(full / gain), -dig_rng, dig_rng - 1).astype(np.int32)
+    dig = np.clip(np.round((full - offset) / gain), -dig_rng, dig_rng - 1).astype(
+        np.int32
+    )
     if status is not None:
         dig[-1] = np.clip(
             np.pad(status.astype(np.int64), (0, pad)), 0, (1 << 23) - 1

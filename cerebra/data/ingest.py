@@ -117,16 +117,23 @@ def convert_bdf_to_pth(
     up, down = (1, int(round(1 / downsample_ratio))) if downsample_ratio < 1 else (
         int(round(downsample_ratio)), 1,
     )
-    sampling = bdf.sample_rate * downsample_ratio
+    # the ACTUAL resampled rate — resample_poly applies up/down, which only
+    # equals sample_rate*downsample_ratio when 1/downsample_ratio is an
+    # integer; epoch_len and the filter design must track the real rate
+    sampling = bdf.sample_rate * up / down
     sig = resample_poly(sig, up, down, axis=-1).astype(np.float32)
-    status = bdf.status[:: down] if up == 1 else np.repeat(bdf.status, up)
-    status = status[: sig.shape[1]]
     epoch_len = int(sampling) // down_ratio_for_timesamples  # 2048/4 → 512
 
-    # 4) events — the reference drops the FIRST found event unconditionally
-    # ("remove first event, its useless", ConvertToPth.py:89); recordings
-    # carry a session-start trigger before the stimulus train
-    events = find_status_events(status)
+    # 4) events — detect rising edges on the RAW full-rate status channel,
+    # then map onsets to resampled indices. Plain status[::down] slicing
+    # would drop trigger words shorter than `down` raw samples and shift
+    # edges that start on non-multiple indices (the reference finds events
+    # on the MNE-resampled stim channel, ConvertToPth.py:87-96). The
+    # reference then drops the FIRST found event unconditionally ("remove
+    # first event, its useless", ConvertToPth.py:89); recordings carry a
+    # session-start trigger before the stimulus train.
+    events = (find_status_events(bdf.status) * up) // down
+    events = events[events < sig.shape[1]]
     if len(events) > 0:
         events = events[1:]
 
@@ -136,17 +143,20 @@ def convert_bdf_to_pth(
 
         from cerebra.signal.filters import (
             bandpass_notch_pipeline,
-            design_bandpass,
             design_notch,
             filtfilt,
             filtfilt_fft,
         )
 
         x = jnp.asarray(sig)
-        apply_fn = filtfilt_fft if use_device_filters else filtfilt
         if apply_bandpass:
-            x = apply_fn(design_bandpass(band[0], band[1], fs=sampling, order=4), x)
-        if apply_notch:
+            x = bandpass_notch_pipeline(
+                x, sampling, band=band,
+                notch=notch_freq if apply_notch else None,
+                order=4, use_fft=use_device_filters,
+            )
+        else:  # notch only
+            apply_fn = filtfilt_fft if use_device_filters else filtfilt
             x = apply_fn(design_notch(notch_freq, fs=sampling), x)
         sig = np.asarray(x, dtype=np.float32)
 

@@ -28,8 +28,9 @@ def random_split_indices(
 
     Lengths follow torch's semantics: floor(n * frac) per split, remainders
     distributed round-robin from the first split. With `torch_compat`, the
-    permutation is torch.randperm under a manual-seeded generator so index
-    sets match the reference bit-for-bit (seed 43 throughout the reference;
+    permutation is torch.randperm under a manual-seeded generator so both
+    the index SETS and their ORDER match the reference's Subset iteration
+    bit-for-bit (seed 43 throughout the reference;
     seed 123 in the channel-discovery scripts,
     TestRetrieval_Perils_DiscoverChannels.py:62-63).
     """
@@ -44,7 +45,10 @@ def random_split_indices(
         perm = np.random.default_rng(seed).permutation(n)
     out, offset = [], 0
     for length in lengths:
-        out.append(np.sort(perm[offset : offset + length]).astype(np.int64))
+        # keep the randperm slice ORDER (torch Subset iteration order), not
+        # just the index set — order-sensitive consumers (gallery layout,
+        # per-position artifacts) must match the reference sequence too
+        out.append(perm[offset : offset + length].astype(np.int64))
         offset += length
     return out
 

@@ -143,7 +143,11 @@ def torchvision_source(name: str, root: str, train: bool = True) -> ImageSource:
         labels = np.asarray([ds[i][1] for i in range(len(ds))], dtype=np.int32)
     n_cls = int(labels.max()) + 1
     names = tuple(str(i) for i in range(n_cls))
-    paths = [str(p) for p in getattr(ds, "_image_files", [])] or None
+    # Flowers102 stores file paths in `_image_files`; OxfordIIITPet in
+    # `_images` — without the fallback pets would eagerly np.stack
+    # heterogeneous (H, W) PIL images and crash.
+    path_list = getattr(ds, "_image_files", None) or getattr(ds, "_images", None)
+    paths = [str(p) for p in path_list] if path_list else None
     source = ImageSource(
         paths=paths, labels=labels,
         catalog=LabelCatalog(names, names, names),

@@ -42,8 +42,10 @@ def random_resized_crop(
     aspect = jnp.exp(log_ratio)
     w = jnp.clip(jnp.sqrt(area * aspect), 8, W).astype(jnp.int32)
     h = jnp.clip(jnp.sqrt(area / aspect), 8, H).astype(jnp.int32)
-    top = jax.random.randint(k3, (), 0, jnp.maximum(H - h, 1))
-    left = jax.random.randint(k4, (), 0, jnp.maximum(W - w, 1))
+    # maxval is exclusive; torchvision draws top from [0, H-h] INCLUSIVE
+    # (torch.randint(0, H - h + 1)) so the crop can sit flush with the edge
+    top = jax.random.randint(k3, (), 0, jnp.maximum(H - h + 1, 1))
+    left = jax.random.randint(k4, (), 0, jnp.maximum(W - w + 1, 1))
     # gather-based crop+resize with static output shape: map output pixel →
     # source coordinates inside the sampled box
     ys = top + (jnp.arange(out_size) * h) // out_size

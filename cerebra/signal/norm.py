@@ -58,10 +58,15 @@ def random_channel_norm_view(key: jax.Array, eeg: jax.Array, n_channels: int = 3
 
 
 def three_view_augment(key: jax.Array, eeg: jax.Array) -> jax.Array:
-    """The `data_augment_eeg` 3-view stack (utils/PerilsEEGDataset.py:575-587):
-    (raw, random-32-channel-norm, z2-score), stacked on a new leading view
-    axis. eeg: (B, T, C) → (B, 3, T, C)."""
+    """The `data_augment_eeg` 3-view stack (utils/PerilsEEGDataset.py:575-587).
+    eeg: (B, T, C) → (B, 3, T, C).
+
+    Aliasing quirk pinned: the reference's `channel_norm_eeg = eeg` is an
+    alias and `normlizeEEG` mutates `EEG[:, ch]` IN PLACE (PerilsEEGDataset
+    .py:454-461), so by stack time `eeg` itself is the channel-normed tensor
+    and `z2Scoring`'s scalar stats are computed from it — the actual stack
+    is (chnorm, chnorm, z2(chnorm)), not (raw, chnorm, z2(raw))."""
     keys = jax.random.split(key, eeg.shape[0])
     ch_view = jax.vmap(random_channel_norm_view)(keys, eeg)
-    z2_view = z2_score_norm(eeg)
-    return jnp.stack([eeg, ch_view, z2_view], axis=1)
+    z2_view = z2_score_norm(ch_view)
+    return jnp.stack([ch_view, ch_view, z2_view], axis=1)

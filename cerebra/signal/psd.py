@@ -27,15 +27,24 @@ def welch_psd(
     x: (..., T) → (freqs (F,), psd (..., F)). Hann window, mean-detrended
     segments, density scaling — scipy.signal.welch parity.
     """
+    T = x.shape[-1]
+    if nperseg > T:  # scipy.signal.welch shrinks nperseg to the signal
+        # length (with a UserWarning) instead of reading out of bounds —
+        # jnp's clamped gather would otherwise return a finite-but-wrong PSD.
+        nperseg = T
+        noverlap = None
     if noverlap is None:
         noverlap = nperseg // 2
     step = nperseg - noverlap
-    T = x.shape[-1]
     n_segs = max((T - nperseg) // step + 1, 1)
     idx = jnp.arange(nperseg)[None, :] + step * jnp.arange(n_segs)[:, None]
     segs = x[..., idx]  # (..., n_segs, nperseg)
     segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
-    window = jnp.asarray(np.hanning(nperseg), dtype=x.dtype)
+    # periodic Hann (scipy get_window('hann', n, fftbins=True)), NOT the
+    # symmetric np.hanning(n) — the symmetric window biases the PSD ~1%.
+    # scipy's _len_guards returns ones for M <= 1 (hanning(2)[:-1] is [0]).
+    win_np = np.ones(1) if nperseg == 1 else np.hanning(nperseg + 1)[:-1]
+    window = jnp.asarray(win_np, dtype=x.dtype)
     spec = jnp.fft.rfft(segs * window, axis=-1)
     scale = 1.0 / (fs * jnp.sum(window**2))
     psd = (jnp.abs(spec) ** 2) * scale

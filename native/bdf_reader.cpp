@@ -28,7 +28,10 @@ struct Header {
   long n_samples = 0;
   long data_offset = 0;
   std::vector<std::string> labels;
-  std::vector<double> gain;  // (phys_max-phys_min)/max(dig_max-dig_min, 1)
+  // spec affine: physical = dig*gain + offset, gain possibly NEGATIVE for
+  // inverted-polarity channels (dig_min > dig_max)
+  std::vector<double> gain;    // (phys_max-phys_min)/(dig_max-dig_min)
+  std::vector<double> offset;  // phys_min - dig_min*gain
   int status_channel = -1;
 };
 
@@ -58,6 +61,7 @@ int parse_header(FILE* f, Header* out) {
   };
   out->labels.resize(C);
   out->gain.resize(C);
+  out->offset.resize(C);
   std::vector<long> n_samp(C);
   for (int i = 0; i < C; i++) {
     out->labels[i] = ch_field(0, 16, i);
@@ -66,8 +70,13 @@ int parse_header(FILE* f, Header* out) {
     double dig_min = atof(ch_field(16 + 80 + 8 + 16, 8, i).c_str());
     double dig_max = atof(ch_field(16 + 80 + 8 + 24, 8, i).c_str());
     double denom = dig_max - dig_min;
-    if (denom < 1.0) denom = 1.0;
-    out->gain[i] = (phys_max - phys_min) / denom;
+    if (denom != 0.0) {
+      out->gain[i] = (phys_max - phys_min) / denom;
+      out->offset[i] = phys_min - dig_min * out->gain[i];
+    } else {  // degenerate range: gain-1/no-offset fallback (bdf.py parity)
+      out->gain[i] = 1.0;
+      out->offset[i] = 0.0;
+    }
     n_samp[i] = atol(ch_field(16 + 80 + 8 + 32 + 80, 8, i).c_str());
     std::string lab = out->labels[i];
     for (auto& c : lab) c = (char)tolower(c);
@@ -141,6 +150,7 @@ extern "C" int bdf_read(const char* path, float* signals, int32_t* status,
           const uint8_t* p = rec + 3L * spr * c;
           float* dst = signals + (size_t)c * T + (size_t)r * spr;
           const double g = h.gain[c];
+          const double off = h.offset[c];
           const bool is_status = (c == h.status_channel);
           int32_t* sdst =
               (is_status && status) ? status + (size_t)r * spr : nullptr;
@@ -148,7 +158,7 @@ extern "C" int bdf_read(const char* path, float* signals, int32_t* status,
             int32_t v = (int32_t)p[3 * s] | ((int32_t)p[3 * s + 1] << 8) |
                         ((int32_t)p[3 * s + 2] << 16);
             if (v >= (1 << 23)) v -= (1 << 24);
-            dst[s] = (float)(v * g);
+            dst[s] = (float)(v * g + off);
             if (sdst) sdst[s] = v & 0xFFFF;
           }
         }

@@ -92,8 +92,8 @@ def test_random_split_matches_torch_reference():
     ds = torch.utils.data.TensorDataset(torch.arange(n))
     g = torch.Generator().manual_seed(43)
     tr, va = torch.utils.data.random_split(ds, [0.8, 0.2], generator=g)
-    np.testing.assert_array_equal(np.sort(np.array(tr.indices)), train_idx)
-    np.testing.assert_array_equal(np.sort(np.array(va.indices)), val_idx)
+    np.testing.assert_array_equal(np.array(tr.indices), train_idx)
+    np.testing.assert_array_equal(np.array(va.indices), val_idx)
     assert len(set(train_idx) & set(val_idx)) == 0
     assert len(train_idx) + len(val_idx) == n
 

@@ -116,10 +116,18 @@ def test_random_channel_norm_view(rng):
 
 
 def test_three_view_augment_shapes(rng):
+    """Pins the reference's aliasing quirk (PerilsEEGDataset.py:575-587):
+    normlizeEEG mutates the aliased tensor in place, so the stack is
+    (chnorm, chnorm, z2(chnorm)) — views 0 and 1 identical, view 2 the
+    z2-score of the channel-normed data, and NO view equals the raw input."""
     x = jnp.asarray(_sig(rng, (5, 60, 8)))
     v = three_view_augment(jax.random.key(1), x)
     assert v.shape == (5, 3, 60, 8)
-    np.testing.assert_allclose(np.asarray(v[:, 0]), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(v[:, 0]), np.asarray(v[:, 1]))
+    np.testing.assert_allclose(
+        np.asarray(v[:, 2]), np.asarray(z2_score_norm(v[:, 1])), rtol=1e-5, atol=1e-5
+    )
+    assert not np.allclose(np.asarray(v[:, 0]), np.asarray(x))
 
 
 def test_multicrop_views():
