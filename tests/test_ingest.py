@@ -101,3 +101,62 @@ def test_reference_stimulus_assets_load():
     assert len(names) == 2000  # 2000 stimuli (SURVEY.md §2.1)
     assert len(wnids) == 40  # 40 ImageNet classes
     assert all(0 <= c < 40 for c in classes)
+
+
+def _manual_bdf(path, channels):
+    """Write a minimal BDF with explicit per-channel (phys_min, phys_max,
+    dig_min, dig_max, samples[int]) — exercises reader paths the symmetric
+    write_raw_bdf never produces (DC offset, inverted polarity)."""
+    C = len(channels)
+    T = len(channels[0][4])
+
+    def f(s, w):
+        return str(s)[:w].ljust(w).encode("ascii")
+
+    hdr = bytearray()
+    hdr += bytes([0xFF]) + f("BIOSEMI", 7)
+    hdr += f("p", 80) + f("r", 80) + f("01.01.20", 8) + f("00.00.00", 8)
+    hdr += f(256 * (1 + C), 8) + f("24BIT", 44)
+    hdr += f(1, 8) + f(1, 8) + f(C, 4)
+    for field, width in (
+        (lambda c: f"ch", 16), (lambda c: "t", 80), (lambda c: "uV", 8),
+        (lambda c: c[0], 8), (lambda c: c[1], 8),
+        (lambda c: c[2], 8), (lambda c: c[3], 8),
+        (lambda c: "none", 80), (lambda c: T, 8), (lambda c: "", 32),
+    ):
+        for c in channels:
+            hdr += f(field(c), width)
+    body = bytearray()
+    for c in channels:
+        for v in c[4]:
+            u = v & 0xFFFFFF
+            body += bytes([u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF])
+    with open(path, "wb") as fh:
+        fh.write(bytes(hdr) + bytes(body))
+
+
+def test_bdf_affine_offset_and_inverted_polarity(tmp_path):
+    """The spec's full dig→physical map (phys = (dig−dig_min)·gain +
+    phys_min): asymmetric ranges carry a DC offset, and dig_min > dig_max
+    (EDF sign-flip convention) must yield a negative gain, not a clamped
+    denominator."""
+    path = str(tmp_path / "m.bdf")
+    digs = [-1000, 0, 500, 1000]
+    _manual_bdf(path, [
+        (-100, 300, -1000, 1000, digs),   # gain 0.2, offset +100
+        (-100, 300, 1000, -1000, digs),   # inverted: gain -0.2, offset +100
+        (0, 0, 0, 0, digs),               # degenerate: raw digital values
+    ])
+    bdf = read_raw_bdf(path)
+    d = np.asarray(digs, dtype=np.float64)
+    np.testing.assert_allclose(bdf.signals[0], d * 0.2 + 100.0, rtol=1e-6)
+    np.testing.assert_allclose(bdf.signals[1], d * -0.2 + 100.0, rtol=1e-6)
+    np.testing.assert_allclose(bdf.signals[2], d, rtol=1e-6)
+
+    from cerebra.data import native_bdf
+
+    if native_bdf.available():
+        nat = native_bdf.read_raw_bdf(path)
+        # not assert_array_equal: g++ may contract v*gain+offset into an FMA,
+        # shifting exact-zero results by ~1e-15 vs numpy's two-step rounding
+        np.testing.assert_allclose(nat.signals, bdf.signals, atol=1e-9)

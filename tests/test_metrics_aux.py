@@ -60,7 +60,25 @@ def test_welch_matches_scipy(rng):
     freqs, psd = welch_psd(jnp.asarray(x), fs, nperseg=256)
     f_want, p_want = sps.welch(x, fs=fs, nperseg=256)
     np.testing.assert_allclose(freqs, f_want)
-    np.testing.assert_allclose(np.asarray(psd), p_want, rtol=2e-2, atol=1e-6)
+    # tight: the periodic Hann window makes this true scipy parity (the old
+    # symmetric np.hanning needed rtol 2e-2 to mask a ~1% systematic bias)
+    np.testing.assert_allclose(np.asarray(psd), p_want, rtol=2e-4, atol=1e-8)
+
+
+def test_welch_short_signal_shrinks_nperseg(rng):
+    """scipy shrinks nperseg to T when the signal is shorter (with a
+    UserWarning); the jnp gather would otherwise clamp out-of-bounds reads
+    and return a finite-but-wrong PSD."""
+    fs = 256.0
+    x = rng.normal(size=(2, 100)).astype(np.float32)
+    freqs, psd = welch_psd(jnp.asarray(x), fs, nperseg=256)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        f_want, p_want = sps.welch(x, fs=fs, nperseg=256)
+    np.testing.assert_allclose(freqs, f_want)
+    np.testing.assert_allclose(np.asarray(psd), p_want, rtol=2e-4, atol=1e-8)
 
 
 def test_band_powers_alpha_peak():

@@ -324,3 +324,58 @@ def test_conformer_interaug_matches_reference(monkeypatch):
     want_x, want_y = ExP.interaug(self, data, labels0 + 1)  # reference: 1-based labels
     np.testing.assert_allclose(np.asarray(ours_x), want_x.numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(ours_y), want_y.numpy())
+
+
+@pytest.fixture(scope="module")
+def ref_perils():
+    from tests._reference_stubs import stub_torchvision
+
+    stub_torchvision()
+    sys.path.insert(0, REFERENCE)
+    try:
+        from utils.PerilsEEGDataset import EEGDataset as RefPerils  # noqa: PLC0415
+    except Exception as e:
+        pytest.skip(f"reference PerilsEEGDataset not importable: {e}")
+    finally:
+        sys.path.remove(REFERENCE)
+    return RefPerils
+
+
+def test_three_view_stack_matches_reference_aliasing(ref_perils):
+    """Execute the reference's data_augment_eeg block verbatim
+    (utils/PerilsEEGDataset.py:575-587) with its own normlizeEEG
+    (utils/PerilsEEGDataset.py:454-461): `channel_norm_eeg = eeg` is an
+    ALIAS and normlizeEEG writes EEG[:, ch] in place, so the produced stack
+    is (chnorm, chnorm, z2(chnorm)). Pins both (a) that 32 sequential
+    with-replacement normlizeEEG calls equal our one-shot masked
+    unique-set channel norm and (b) three_view_augment's aliased layout."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from cerebra.signal.norm import channel_wise_norm, z2_score_norm
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(scale=2.0, size=(60, 8)).astype(np.float32)  # one (T, C) trial
+    draws = rng.integers(0, 8, size=32)  # with replacement, like np.random.randint
+
+    # --- reference path, lines re-enacted with the reference's own method
+    eeg = torch.from_numpy(x.copy())
+    channel_norm_eeg = eeg  # the alias (PerilsEEGDataset.py:576)
+    for ch in draws:
+        channel_norm_eeg = ref_perils.normlizeEEG(
+            None, channel_norm_eeg, ch_index=int(ch)
+        )
+    z2Scoring = eeg
+    fmean = z2Scoring.mean()
+    fstd = z2Scoring.std()
+    z2Scoring = (z2Scoring - fmean) / fstd
+    ref_stack = torch.stack((eeg, channel_norm_eeg, z2Scoring)).numpy()
+
+    # --- ours: masked unique-set channel norm, aliased (v, v, z2(v)) stack
+    mask = np.zeros(8, dtype=bool)
+    mask[np.unique(draws)] = True
+    xj = jnp.asarray(x)
+    v = jnp.where(jnp.asarray(mask)[None, :], channel_wise_norm(xj), xj)
+    ours = jnp.stack([v, v, z2_score_norm(v)])
+    np.testing.assert_allclose(np.asarray(ours), ref_stack, rtol=5e-4, atol=5e-4)
