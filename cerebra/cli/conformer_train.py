@@ -14,7 +14,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from cerebra.cli.common import init_distributed, make_cli_mesh
+from cerebra.cli.common import init_distributed, is_main_process, make_cli_mesh
 from cerebra.train.conformer_recipe import (
     ExPConfig,
     conformer_exp_train,
@@ -87,7 +87,12 @@ def main(argv=None):
         print(f"Subject {subject}: train {train_data.shape} test {test_data.shape}")
         variables, hist = conformer_exp_train(
             train_data, train_labels, test_data, test_labels, config=cfg, mesh=mesh,
-            log_write_path=os.path.join(FLAGS.log_dir, f"log_subject{subject}.txt"),
+            # file artifacts stay rank-0-only: N ranks opening the same path
+            # with "w" would truncate and interleave each other's log
+            log_write_path=(
+                os.path.join(FLAGS.log_dir, f"log_subject{subject}.txt")
+                if is_main_process() else None
+            ),
         )
         results.append((subject, hist["best_acc"][0], hist["aver_acc"][0]))
 
@@ -98,13 +103,14 @@ def main(argv=None):
             {"params": variables["params"], "batch_stats": variables["batch_stats"]},
         )
 
-    with open(os.path.join(FLAGS.log_dir, "sub_result.txt"), "w") as f:
-        for subject, best, aver in results:
-            f.write(f"Subject {subject} : Seed is: {FLAGS.seed}\n")
-            f.write(f"Subject {subject} : The best accuracy is: {best}\n")
-            f.write(f"Subject {subject} : The average accuracy is: {aver}\n")
-        f.write(f"**The average Best accuracy is: {np.mean([r[1] for r in results])}\n")
-        f.write(f"The average Aver accuracy is: {np.mean([r[2] for r in results])}\n")
+    if is_main_process():
+        with open(os.path.join(FLAGS.log_dir, "sub_result.txt"), "w") as f:
+            for subject, best, aver in results:
+                f.write(f"Subject {subject} : Seed is: {FLAGS.seed}\n")
+                f.write(f"Subject {subject} : The best accuracy is: {best}\n")
+                f.write(f"Subject {subject} : The average accuracy is: {aver}\n")
+            f.write(f"**The average Best accuracy is: {np.mean([r[1] for r in results])}\n")
+            f.write(f"The average Aver accuracy is: {np.mean([r[2] for r in results])}\n")
     return results
 
 

@@ -26,6 +26,7 @@ from cerebra.data.sampling import epoch_batches
 from cerebra.losses import barlow_twins_loss
 from cerebra.models.barlow import BarlowTwins
 from cerebra.train.schedules import barlow_learning_rate
+from cerebra.train.resume import check_finite_loss
 
 
 @dataclasses.dataclass
@@ -197,6 +198,7 @@ def barlow_train(
             params, batch_stats, opt_state, epoch
         )
         loss = float(np.mean(np.asarray(losses)))  # one sync per epoch
+        check_finite_loss(loss, epoch)
         history["loss"].append(loss)
         history["epoch_time_s"].append(time.perf_counter() - t0)
         log_fn(f"EPOCH {epoch} barlow_loss: {loss:.4f}")

@@ -19,6 +19,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cerebra.models.lstm import export_torch_state_dict, import_torch_state_dict
@@ -215,8 +216,24 @@ def _replace_adam_state(opt_state, new_adam):
     def rebuild(node):
         if isinstance(node, optax.ScaleByAdamState):
             return new_adam
+        if isinstance(node, dict):
+            return {k: rebuild(v) for k, v in node.items()}
         if isinstance(node, tuple) and hasattr(node, "_fields"):
-            return type(node)(*[rebuild(x) for x in node])
+            out = type(node)(*[rebuild(x) for x in node])
+            # schedules are evaluated at THEIR OWN counters, not at the Adam
+            # moment count: inject_hyperparams keeps a top-level count AND
+            # (newer optax) one WrappedScheduleState(count) per hyperparam in
+            # hyperparams_states; scale_by_schedule keeps its own too.
+            # Leaving any of them at the template's 0 silently replays the
+            # lr/wd warmup after a .pth resume. Fast-forward EVERY count in
+            # the optimizer tree — each a FRESH buffer (aliasing one array
+            # across states would make a later donating jit reject
+            # "donate the same buffer twice").
+            if "count" in node._fields:
+                out = out._replace(
+                    count=jnp.asarray(np.asarray(new_adam.count), dtype=out.count.dtype)
+                )
+            return out
         if isinstance(node, tuple):
             return tuple(rebuild(x) for x in node)
         return node

@@ -31,6 +31,7 @@ import numpy as np
 import optax
 
 from cerebra.models.conformer import Conformer
+from cerebra.train.resume import check_finite_loss
 
 
 @dataclasses.dataclass
@@ -153,14 +154,16 @@ def make_interaug(
             0, counts_d[:, None, None],
         )
         src = table_d[jnp.arange(n_classes)[:, None, None], idx]  # trial ids
-        trials = data_d[src]  # (cls, out, seg, 1, C, T)
-        segs = trials.reshape(
-            n_classes, n_per_class_out, n_segments, 1, C, n_segments, seg_len
-        )
-        # segment j of output comes from the j-th sampled trial: diagonal
-        # over (sampled-trial axis 2, segment axis 5)
-        picked = jnp.diagonal(segs, axis1=2, axis2=5)  # (cls, out, 1, C, seg_len, seg)
-        picked = jnp.moveaxis(picked, -1, -2)  # (cls, out, 1, C, seg, seg_len)
+        # gather ONLY segment j of the j-th sampled trial — indexing the
+        # (trial, segment) pair directly is one batched gather of
+        # (cls, out, seg, C, seg_len); the earlier data_d[src] formulation
+        # fetched every sampled trial's FULL (1, C, T) tensor and discarded
+        # (n_segments-1)/n_segments of it via jnp.diagonal, 8x the HBM
+        # traffic in the per-step scan body at the default n_segments=8
+        data_r = data_d.reshape(N, C, n_segments, seg_len)
+        j = jnp.arange(n_segments)[None, None, :]  # broadcasts against src
+        picked = data_r[src, :, j, :]  # (cls, out, seg, C, seg_len)
+        picked = jnp.moveaxis(picked, 2, 3)[:, :, None]  # (cls, out, 1, C, seg, L)
         aug = picked.reshape(n_classes * n_per_class_out, 1, C, T)
         perm = jax.random.permutation(k_shuf, aug.shape[0])
         return aug[perm], aug_labels[perm]
@@ -305,6 +308,7 @@ def conformer_exp_train(
         )
         # reference logs the LAST step's loss (utils/Conformer.py:380-386)
         loss = float(np.asarray(losses)[-1])
+        check_finite_loss(loss, epoch)
         history["train_loss"].append(loss)
         history["epoch_time_s"].append(time.perf_counter() - t0)
 

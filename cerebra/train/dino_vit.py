@@ -27,10 +27,11 @@ from cerebra.data.sampling import epoch_batches
 from cerebra.losses import teacher_temp_schedule
 from cerebra.models.heads import DINOHead
 from cerebra.models.vit import VisionTransformer, vit_base, vit_small, vit_tiny
-from cerebra.signal.image_aug import dino_local_crop, normalize
+from cerebra.signal.image_aug import dino_local_crop
 from cerebra.signal.windows import tile_eeg_to_image
 from cerebra.train.schedules import cosine_scheduler
 from cerebra.train.steps import DinoTrainState, make_dino_step, make_scheduled_optimizer
+from cerebra.train.resume import check_finite_loss
 
 
 @dataclasses.dataclass
@@ -287,6 +288,7 @@ def dino_vit_train(
         subs = jax.random.split(ek, niter_per_ep)
         state, losses = epoch_call(state, epoch, subs)
         loss = float(np.mean(np.asarray(losses)))  # one sync per epoch
+        check_finite_loss(loss, epoch)
         dt = time.perf_counter() - t0
         history["loss"].append(loss)
         history["epoch_time_s"].append(dt)

@@ -79,13 +79,25 @@ def make_optimizer(
 
     if name == "adamw":
         tx = optax.adamw(learning_rate, weight_decay=weight_decay, mask=mask)
-    elif name == "adam":
-        tx = optax.adam(learning_rate)
-    elif name == "sgd":
-        tx = optax.sgd(learning_rate, momentum=momentum)
-    elif name == "rmsprop":
-        # torch.optim.RMSprop defaults: alpha=0.99, eps=1e-8 added OUTSIDE sqrt
-        tx = optax.rmsprop(learning_rate, decay=0.99, eps=1e-8)
+    elif name in ("adam", "sgd", "rmsprop"):
+        inner = {
+            "adam": lambda: optax.adam(learning_rate),
+            "sgd": lambda: optax.sgd(learning_rate, momentum=momentum),
+            # torch.optim.RMSprop defaults: alpha=0.99, eps=1e-8 added
+            # OUTSIDE the sqrt — optax defaults eps INSIDE; eps_in_sqrt=False
+            # is required for exact torch parity (pinned in test_train.py)
+            "rmsprop": lambda: optax.rmsprop(
+                learning_rate, decay=0.99, eps=1e-8, eps_in_sqrt=False
+            ),
+        }[name]()
+        if weight_decay:
+            # torch couples weight decay for these optimizers: wd*param is
+            # added to the GRADIENT before momentum/adaptive scaling
+            # (unlike adamw's decoupled decay) — chain add_decayed_weights
+            # in FRONT of the inner transform to match.
+            wd = optax.add_decayed_weights(weight_decay, mask=mask)
+            inner = optax.chain(wd, inner)
+        tx = inner
     elif name == "lars":
         tx = optax.lars(
             learning_rate,

@@ -32,6 +32,7 @@ from cerebra.losses import feature_distribution_loss_v1, teacher_temp_schedule
 from cerebra.models import DINOHead, Model
 from cerebra.train.optim import make_optimizer
 from cerebra.train.schedules import cosine_scheduler
+from cerebra.train.resume import check_finite_loss
 from cerebra.train.steps import (
     DinoTrainState,
     TrainState,
@@ -252,6 +253,7 @@ def feature_distill_train(
         # one sync per epoch; np.asarray also handles multi-process global
         # arrays (scan losses are fully replicated)
         epoch_loss = float(np.mean(np.asarray(losses)))
+        check_finite_loss(epoch_loss, epoch)
         dt = time.perf_counter() - t0
         history["train_loss"].append(epoch_loss)
         history["epoch_time_s"].append(dt)
@@ -524,6 +526,7 @@ def dino_selfdistill_train(
         # ONE host sync per epoch (each float() is a round trip);
         # np.asarray also handles multi-process fully-replicated outputs
         loss = float(np.mean(np.asarray(losses)))
+        check_finite_loss(loss, epoch)
         dt = time.perf_counter() - t0
         history["loss"].append(loss)
         history["epoch_time_s"].append(dt)

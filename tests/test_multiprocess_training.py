@@ -217,3 +217,71 @@ def test_two_process_training_matches_single_process(tmp_path):
         config=cfg, mesh=make_mesh(("data",)), log_fn=lambda s: None,
     )
     np.testing.assert_allclose(hist["train_loss"], losses[0], rtol=1e-6)
+
+
+WORKER_CONFORMER = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.environ["CEREBRA_REPO"])
+    from cerebra.cli.common import init_distributed
+
+    init_distributed()
+    import numpy as np
+    from jax.sharding import Mesh
+    from cerebra.train.conformer_recipe import (
+        ExPConfig, conformer_exp_train, make_synthetic_bciiv,
+    )
+
+    data, labels = make_synthetic_bciiv(seed=0, n_per_class=8, n_channels=4,
+                                        n_samples=256)
+    n_train = int(len(data) * 0.75)
+    cfg = ExPConfig(batch_size=8, n_epochs=2, emb_size=40, depth=1,
+                    n_segments=4, eval_every=2)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    _, hist = conformer_exp_train(
+        data[:n_train], labels[:n_train], data[n_train:], labels[n_train:],
+        config=cfg, mesh=mesh,
+        log_write_path=None,
+    )
+    print("CONF_LOSS " + json.dumps(hist["train_loss"]))
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_conformer_mesh(tmp_path):
+    """The conformer meshed path (replicated corpus + sharding-constrained
+    step batch) across PROCESS boundaries: the corpus/key arrays are
+    uncommitted host-built values identical on every rank, which jit may
+    auto-globalize — this pins that it actually does."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker_conf.py"
+    script.write_text(WORKER_CONFORMER)
+    env_base = {
+        **os.environ,
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "WORLD_SIZE": "2",
+        "CEREBRA_REPO": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env_base, "RANK": str(rank)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    losses = {}
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("CONF_LOSS ")]
+        assert line, out[-3000:]
+        losses[rank] = json.loads(line[0][len("CONF_LOSS "):])
+    assert losses[0] == losses[1]

@@ -237,3 +237,44 @@ def test_recipe_resumes_through_training_from_reference_pth(tmp_path):
     w2 = np.asarray(state2.student_params["backbone"]["lstm"]["w_ih_l0"])
     assert not np.allclose(w0, w2)  # it trained further
     assert np.abs(w0 - w2).max() < 0.3  # ...from w0, not from a fresh init
+
+
+def test_resume_fast_forwards_schedule_counts():
+    """lr/wd schedules are evaluated at InjectHyperparamsState.count
+    (steps.py inject_hyperparams wrapper), NOT at the Adam moment count —
+    a resume that restored only ScaleByAdamState silently replayed the
+    warmup schedule from step 0."""
+    import optax
+
+    params, tx, opt_state = _tiny_state()
+    opt_sd = adamw_state_to_torch(opt_state, lr=1e-3, weight_decay=0.04)
+
+    # a RAMP schedule so the replay would be visible in the applied lr
+    lr_sched = np.array([1e-4, 2e-4, 3e-4, 4e-4], np.float32)
+    wd_sched = np.array([0.01, 0.02, 0.03, 0.04], np.float32)
+    tx2 = make_scheduled_optimizer(
+        "adamw", lr_sched, wd_sched, params_mask_source=params, clip_grad=3.0
+    )
+    restored = adamw_state_from_torch(opt_sd, tx2.init(params))
+
+    def find_inject(state):
+        # optax names this InjectHyperparamsState or (newer)
+        # InjectStatefulHyperparamsState — match on the fields
+        if hasattr(state, "_fields") and "hyperparams" in state._fields:
+            return state
+        if isinstance(state, tuple):
+            for x in state:
+                r = find_inject(x)
+                if r is not None:
+                    return r
+        return None
+
+    inj = find_inject(restored)
+    assert inj is not None and int(inj.count) == 2
+
+    # the post-resume step must use schedule index 2, not 0
+    grads = jax.tree.map(lambda p: jnp.ones_like(p) * 0.1, params)
+    _, new_state = tx2.update(grads, restored, params)
+    inj2 = find_inject(new_state)
+    np.testing.assert_allclose(float(inj2.hyperparams["learning_rate"]), lr_sched[2])
+    np.testing.assert_allclose(float(inj2.hyperparams["weight_decay"]), wd_sched[2])

@@ -1,6 +1,7 @@
 """Training-layer tests: schedules vs reference formula, optimizer semantics,
 EMA, checkpoints round-trip, end-to-end recipes learn on synthetic data."""
 
+import optax
 import pytest
 import jax
 import jax.numpy as jnp
@@ -174,3 +175,56 @@ def test_dino_auto_resume(tmp_path):
     assert any("auto-resume" in l for l in logs)
     assert int(s2.step) == 2 * (corpus.n // 8)
     assert len(hist["loss"]) == 1  # only the remaining epoch ran
+
+
+def test_sgd_rmsprop_coupled_weight_decay_matches_torch():
+    """torch couples weight decay for SGD/RMSprop/Adam (L2 added to the grad
+    BEFORE momentum/adaptive scaling); make_optimizer must reproduce that,
+    not silently drop wd (it used to) nor apply adamw-style decoupled decay.
+    Two steps so the momentum interaction with the decay term shows."""
+    import torch
+
+    rng = np.random.default_rng(3)
+    w0 = rng.normal(size=(4, 4)).astype(np.float32)
+    g1 = rng.normal(size=(4, 4)).astype(np.float32)
+    g2 = rng.normal(size=(4, 4)).astype(np.float32)
+    for name, torch_cls, kwargs in (
+        ("sgd", torch.optim.SGD, dict(momentum=0.9)),
+        ("rmsprop", torch.optim.RMSprop, dict(alpha=0.99, eps=1e-8)),
+        ("adam", torch.optim.Adam, dict()),
+    ):
+        p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = torch_cls([p], lr=1e-2, weight_decay=0.05, **kwargs)
+        for g in (g1, g2):
+            opt.zero_grad()
+            p.grad = torch.from_numpy(g.copy())
+            opt.step()
+        want = p.detach().numpy()
+
+        tx = make_optimizer(name, 1e-2, weight_decay=0.05)
+        params = {"w": jnp.asarray(w0)}
+        st = tx.init(params)
+        for g in (g1, g2):
+            upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+            params = optax.apply_updates(params, upd)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), want, rtol=2e-4, atol=2e-6,
+        )
+
+
+def test_nan_loss_aborts_training():
+    """The reference aborts on a non-finite loss (dino/main_dino.py:387-389);
+    the whole-epoch scan must not keep burning epochs (and overwriting
+    checkpoints) after the loss goes NaN."""
+    from cerebra.train.recipes import FeatureDistillConfig, feature_distill_train
+
+    rng = np.random.default_rng(0)
+    eeg = rng.normal(size=(8, 32, 4)).astype(np.float32)
+    eeg[0, 0, 0] = np.nan  # poison one sample → epoch-0 loss is NaN
+    feats = rng.normal(size=(8, 16)).astype(np.float32)
+    labels = np.arange(8, dtype=np.int32) % 2
+    cfg = FeatureDistillConfig(num_epochs=3, batch_size=4, lstm_size=8,
+                               lstm_layers=1, validation_frequency=0)
+    with pytest.raises(FloatingPointError, match="Loss is nan"):
+        feature_distill_train(eeg, feats, labels, eeg, feats, labels,
+                              config=cfg, log_fn=lambda s: None)
