@@ -27,7 +27,7 @@ class Projector(nn.Module):
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         for i, s in enumerate(self.sizes[:-1]):
             x = nn.Dense(s, use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
             x = nn.relu(x)
         return nn.Dense(self.sizes[-1], use_bias=False, dtype=self.dtype)(x)
 

@@ -86,7 +86,7 @@ class PatchEmbedding(nn.Module):
                         dtype=self.dtype, name="Conv_0")(x)
             x = nn.Conv(40, (x.shape[1], 1), strides=(1, 1), padding="VALID",
                         dtype=self.dtype, name="Conv_1")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         x = nn.elu(x)
         x = nn.avg_pool(x, (1, self.pool_size), strides=(1, self.pool_stride), padding="VALID")
         x = nn.Dropout(0.5, deterministic=not train)(x)

@@ -80,18 +80,22 @@ class DinoModel:
                     k2, jnp.zeros((1, self.backbone.embed_dim))
                 )["params"]
         self.params = params
+        # params are a runtime ARGUMENT of the jit, never a closure: closed-
+        # over weights are baked into the compiled HLO as constants (~43M
+        # f32 params for vit_small/8 + 65536-dim head), re-uploaded through
+        # the remote-compile tunnel per jit signature (CLAUDE.md rule)
         self._forward = jax.jit(self._apply)
 
     # ------------------------------------------------------------- forward
-    def _apply(self, images: jax.Array) -> jax.Array:
-        feats = self.backbone.apply({"params": self.params["backbone"]}, images)
-        if self.head is not None and "head" in self.params:
-            feats = self.head.apply({"params": self.params["head"]}, feats)
+    def _apply(self, params: dict, images: jax.Array) -> jax.Array:
+        feats = self.backbone.apply({"params": params["backbone"]}, images)
+        if self.head is not None and "head" in params:
+            feats = self.head.apply({"params": params["head"]}, feats)
         return feats
 
     def __call__(self, images: jax.Array) -> jax.Array:
         """images: (B, H, W, 3) NHWC, already preprocessed."""
-        return self._forward(images)
+        return self._forward(self.params, images)
 
     # ---------------------------------------------------------- transforms
     def dinov1_transform(self, image: np.ndarray) -> np.ndarray:
@@ -120,12 +124,11 @@ class DinoModel:
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(ckpt, dict) and checkpoint_key in ckpt:
             ckpt = ckpt[checkpoint_key]
-        cleaned = {}
-        for k, v in ckpt.items():
-            for pref in ("module.",):
-                if k.startswith(pref):
-                    k = k[len(pref) :]
-            cleaned[k] = v
+        from cerebra.models._torch_interop import strip_torch_prefixes
+
+        # torch tensors stay tensors here (dtype=None); backbone./head.
+        # routing below needs the wrapper prefixes intact except module.
+        cleaned = strip_torch_prefixes(ckpt, prefixes=("module.",), dtype=None)
         backbone_sd = {
             k[len("backbone.") :] if k.startswith("backbone.") else k: v
             for k, v in cleaned.items()

@@ -14,12 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-
-def _trunc_normal(std: float):
-    def init(key, shape, dtype):
-        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
-
-    return init
+from cerebra.models._torch_interop import trunc_normal_init as _trunc_normal
 
 
 class WeightNormDense(nn.Module):
@@ -64,12 +59,12 @@ class DINOHead(nn.Module):
         else:
             x = nn.Dense(self.hidden_dim, **kw)(x)
             if self.use_bn:
-                x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
             x = nn.gelu(x)
             for _ in range(nlayers - 2):
                 x = nn.Dense(self.hidden_dim, **kw)(x)
                 if self.use_bn:
-                    x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+                    x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
                 x = nn.gelu(x)
             x = nn.Dense(self.bottleneck_dim, **kw)(x)
         x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)

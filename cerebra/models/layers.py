@@ -29,7 +29,7 @@ class ConvLayer2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.out_channels, self.kernel, self.strides,
@@ -95,7 +95,7 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         norm = lambda name=None: nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name=name
+            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
         )
         y = nn.Conv(self.out_channels, (3, 3), self.strides, padding=1, use_bias=False,
                     dtype=self.dtype)(x)

@@ -24,12 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-
-def _trunc_normal(std: float):
-    def init(key, shape, dtype=jnp.float32):
-        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
-
-    return init
+from cerebra.models._torch_interop import strip_torch_prefixes
+from cerebra.models._torch_interop import trunc_normal_init as _trunc_normal
 
 
 class Attention(nn.Module):
@@ -55,7 +51,7 @@ class Attention(nn.Module):
         ``attn`` is None on the fused flash path (``need_weights=False``)."""
         B, N, D = x.shape
         H = self.num_heads
-        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, D // H)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B, H, N, d)
         scale = (D // H) ** -0.5
@@ -71,7 +67,7 @@ class Attention(nn.Module):
             attn = jax.nn.softmax((q * scale) @ jnp.swapaxes(k, -2, -1), axis=-1)
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
             out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
-        out = nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(D, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out, attn
 
@@ -126,8 +122,11 @@ class _DenseParams(nn.Module):
 
     @nn.compact
     def __call__(self):
+        # same trunc_normal(.02) as the applied nn.Dense layers (the
+        # reference's _init_weights, dino/vision_transformer.py:165-167) so
+        # fused and unfused paths draw identical init distributions
         kernel = self.param(
-            "kernel", nn.linear.default_kernel_init, (self.in_dim, self.features)
+            "kernel", _trunc_normal(0.02), (self.in_dim, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         return kernel, bias
@@ -254,9 +253,9 @@ class Block(nn.Module):
             )
             return out.reshape(B, N, D)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(F, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.Dense(F, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)  # torch nn.GELU default (exact erf)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="mlp_fc2")(h)
         if self.layer_scale:
             h = h * self.param(
                 "ls2_gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
@@ -303,8 +302,11 @@ class VisionTransformer(nn.Module):
         B, H, W, _ = x.shape
         patches = nn.Conv(
             self.embed_dim, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size), dtype=self.dtype, name="patch_embed",
-        )(x)
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            dtype=self.dtype, name="patch_embed",
+        )(x)  # VALID: torch Conv2d is unpadded, floor-truncating partial
+        # patches (flax's default SAME would zero-pad a 230px input to a
+        # 15x15 grid where the reference produces 14x14)
         gh, gw = patches.shape[1], patches.shape[2]
         tokens = patches.reshape(B, gh * gw, self.embed_dim)
 
@@ -356,7 +358,10 @@ class VisionTransformer(nn.Module):
 def _interpolate_pos_embed(pos_embed: jax.Array, gh: int, gw: int) -> jax.Array:
     """Bicubic pos-embed interpolation (dino/vision_transformer.py:174-194)."""
     n = pos_embed.shape[1] - 1
-    if gh * gw == n:
+    if gh * gw == n and gh == gw:
+        # the reference short-circuits only for npatch == N AND w == h
+        # (dino/vision_transformer.py:177): a non-square grid with the same
+        # token count must still be re-interpolated to its real geometry
         return pos_embed
     cls_pos, patch_pos = pos_embed[:, :1], pos_embed[:, 1:]
     g0 = int(math.sqrt(n))
@@ -398,12 +403,7 @@ def import_vit_torch(state_dict, depth: int = 12, layer_scale: bool = False) -> 
     inference-unused `mask_token` (skipped). Accepts checkpoint keys carrying
     `module./teacher./backbone.` prefixes (utils/DinoModel.py:60-78
     prefix-stripping)."""
-    sd = {}
-    for k, v in state_dict.items():
-        for pref in ("module.", "teacher.", "backbone."):
-            if k.startswith(pref):
-                k = k[len(pref):]
-        sd[k] = np.asarray(v, dtype=np.float32)
+    sd = strip_torch_prefixes(state_dict)
 
     p: dict = {}
     p["cls_token"] = sd["cls_token"]

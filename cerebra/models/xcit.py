@@ -49,12 +49,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-
-def _trunc_normal(std: float):
-    def init(key, shape, dtype=jnp.float32):
-        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
-
-    return init
+from cerebra.models._torch_interop import strip_torch_prefixes
+from cerebra.models._torch_interop import trunc_normal_init as _trunc_normal
 
 
 def fourier_pos_encoding(
@@ -130,7 +126,7 @@ class XCA(nn.Module):
         temperature = self.param(
             "temperature", nn.initializers.ones_init(), (H, 1, 1)
         )
-        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, d)
         # (B, H, d, N): channels are the attention axis
         q, k, v = (jnp.swapaxes(qkv[:, :, i].transpose(0, 2, 1, 3), -2, -1) for i in range(3))
@@ -138,7 +134,7 @@ class XCA(nn.Module):
         k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
         attn = jax.nn.softmax((q @ jnp.swapaxes(k, -2, -1)) * temperature, axis=-1)
         out = (attn @ v).transpose(0, 3, 1, 2).reshape(B, N, D)
-        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(D, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="proj")(out)
 
 
 class LPI(nn.Module):
@@ -191,9 +187,9 @@ class XCABlock(nn.Module):
         )
         x = x + self._drop_path(gamma3 * y, train)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="mlp_fc2")(h)
         return x + self._drop_path(gamma2 * h, train)
 
     def _drop_path(self, x: jax.Array, train: bool) -> jax.Array:
@@ -218,13 +214,13 @@ class ClassAttention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         B, N, D = x.shape
         H, d = self.num_heads, D // self.num_heads
-        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, d).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, d)
         q, k, v = qkv[0], qkv[1], qkv[2]
         qc = q[:, :, :1]  # (B, H, 1, d) — CLS query only
         attn = jax.nn.softmax(jnp.sum(qc * k, axis=-1) * d**-0.5, axis=-1)  # (B, H, N)
         cls = (attn[:, :, None, :] @ v).swapaxes(1, 2).reshape(B, 1, D)
-        cls = nn.Dense(D, dtype=self.dtype, name="proj")(cls)
+        cls = nn.Dense(D, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="proj")(cls)
         return jnp.concatenate([cls, x[:, 1:]], axis=1)
 
 
@@ -255,9 +251,9 @@ class ClassAttentionBlock(nn.Module):
         # (x_res[:,1:] + x[:,1:]) while only the CLS token gets the MLP.
         x_res = x
         cls = x[:, :1]
-        cls = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(cls)
+        cls = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="mlp_fc1")(cls)
         cls = nn.gelu(cls, approximate=False)
-        cls = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(cls)
+        cls = nn.Dense(self.dim, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="mlp_fc2")(cls)
         x = jnp.concatenate([gamma2 * cls, x[:, 1:]], axis=1)
         return x_res + x
 
@@ -290,7 +286,7 @@ class XCiT(nn.Module):
         # sinusoidal grid encoding (host-constant for the static grid) + the
         # learned 1×1 projection (a Dense over the feature axis ≡ 1×1 conv)
         pos = jnp.asarray(fourier_pos_encoding(gh, gw, self.pos_hidden_dim))
-        pos = nn.Dense(D, dtype=self.dtype, name="token_projection")(pos)
+        pos = nn.Dense(D, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="token_projection")(pos)
         tokens = tokens + pos[None]
         for i in range(self.depth):
             tokens = XCABlock(
@@ -364,12 +360,7 @@ def import_xcit_torch(
     (norm1/attn/norm3/local_mp/norm2/mlp + gamma1/2/3),
     `cls_attn_blocks.{i}.*`, `cls_token`, `norm.*`. Accepts
     `module./teacher./backbone.` prefixes like import_vit_torch."""
-    sd = {}
-    for k, v in state_dict.items():
-        for pref in ("module.", "teacher.", "backbone."):
-            if k.startswith(pref):
-                k = k[len(pref):]
-        sd[k] = np.asarray(v, dtype=np.float32)
+    sd = strip_torch_prefixes(state_dict)
 
     params: dict = {"cls_token": sd["cls_token"]}
     stats: dict = {}

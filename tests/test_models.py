@@ -127,3 +127,61 @@ def test_lstm_bf16_path_close_to_f32():
     a = np.asarray(m32.apply(params, x), dtype=np.float32)
     b = np.asarray(mbf.apply(params, x), dtype=np.float32)
     assert np.abs(a - b).max() < 0.15 * max(np.abs(a).max(), 1e-3)
+
+
+def test_vit_patch_embed_floor_truncates_like_torch():
+    """torch's Conv2d(kernel=P, stride=P) is unpadded: a 40x40 input at
+    patch 16 gives a 2x2 grid (floor), not flax SAME-padding's 3x3."""
+    from cerebra.models.vit import VisionTransformer
+
+    m = VisionTransformer(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                          num_heads=2)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    out = m.apply(v, jnp.zeros((1, 40, 40, 3)), return_all_tokens=True)
+    assert out.shape[1] == 1 + 2 * 2  # CLS + floor(40/16)^2
+
+
+def test_vit_pos_embed_reinterpolates_nonsquare_grid():
+    """A non-square grid with the SAME token count as the trained square
+    grid must still re-interpolate (dino/vision_transformer.py:177 requires
+    npatch == N AND w == h to short-circuit)."""
+    from cerebra.models.vit import _interpolate_pos_embed
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=(1, 1 + 4 * 4, 8)).astype(np.float32))
+    same = _interpolate_pos_embed(pos, 4, 4)
+    assert same is pos  # square same-count grid: untouched
+    ns = _interpolate_pos_embed(pos, 2, 8)  # 16 tokens, non-square
+    assert ns.shape == (1, 17, 8)
+    assert not np.allclose(np.asarray(ns), np.asarray(pos))
+
+
+def test_vit_dense_init_is_trunc_normal():
+    """The reference applies trunc_normal_(std=.02) to every nn.Linear
+    (dino/vision_transformer.py:165-167); flax's default lecun_normal would
+    give std ~0.05 at D=384."""
+    from cerebra.models.vit import vit_small
+
+    m = vit_small(patch_size=16, img_size=32)
+    p = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    qkv = np.asarray(p["block_0"]["attn"]["qkv"]["kernel"])
+    # reference trunc_normal_ bounds are ABSOLUTE (dino/utils.py:548): at
+    # std=.02 it is an effectively untruncated normal with std exactly 0.02
+    assert abs(qkv.std() - 0.02) < 0.0005, qkv.std()
+
+
+def test_batchnorm_momentum_is_torch_equivalent():
+    """torch BatchNorm momentum=0.1 == flax momentum=0.9: after one batch
+    the running mean moves 10% of the way to the batch mean (flax's 0.99
+    default would move only 1%)."""
+    from cerebra.models.layers import ConvLayer2D
+
+    m = ConvLayer2D(out_channels=4, kernel=(3, 3))
+    x = jnp.ones((2, 8, 8, 3)) * 5.0
+    v = m.init(jax.random.key(0), x, train=True)
+    _, updated = m.apply(v, x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.key(1)})
+    bs = jax.tree.leaves(updated["batch_stats"])
+    # running stats moved measurably after ONE step (momentum 0.9, not 0.99)
+    moved = [b for b in bs if float(np.abs(np.asarray(b)).max()) > 1e-3]
+    assert moved, "running stats barely moved - momentum still at flax default?"
