@@ -85,10 +85,12 @@ def main(argv=None):
         mesh=make_cli_mesh(FLAGS, global_batch=FLAGS.batch_size), log_fn=log_fn
     )
 
-    if is_main_process():  # rank-0 checkpoint (train.py:162-165)
-        from cerebra.train.checkpoints import save_orbax
+    # orbax saves are COLLECTIVE (resume.py:46-53: a rank-0-only gate here
+    # deadlocks at the barrier); orbax itself keeps the write rank-0
+    # (train.py:162-165 reference semantics preserved)
+    from cerebra.train.checkpoints import save_orbax
 
-        save_orbax(os.path.join(FLAGS.log_dir, "checkpoint_orbax"), variables)
+    save_orbax(os.path.join(FLAGS.log_dir, "checkpoint_orbax"), variables)
     return variables, hist
 
 

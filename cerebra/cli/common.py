@@ -94,17 +94,12 @@ def make_cli_mesh(FLAGS, global_batch=None):
     return mesh
 
 
-def is_main_process() -> bool:
-    """Rank-0 gate for file artifacts (the reference's save_on_master /
-    rank-0 print-gating, utils/utils.py:447-464): under multi-process
-    launches every rank runs the same CLI, but only one may write
-    checkpoints/logs or they race on the same paths."""
-    import jax
-
-    try:
-        return jax.process_index() == 0
-    except Exception:
-        return True
+# Rank-0 gate for file artifacts (the reference's save_on_master /
+# rank-0 print-gating, utils/utils.py:447-464): under multi-process
+# launches every rank runs the same CLI, but only one may write
+# checkpoints/logs or they race on the same paths. ONE implementation,
+# shared with the infra layer.
+from cerebra.utils.config import is_main_process  # noqa: F401,E402
 
 
 def init_distributed() -> None:

@@ -94,7 +94,7 @@ def _channel_names(FLAGS, n_channels):
     if FLAGS.channel_map.endswith("perils_channel_map.txt"):
         return read_channel_list(FLAGS.channel_map)
     cm = read_channel_map(FLAGS.channel_map)
-    return [cm.get(i + 1, str(i)) for i in range(n_channels)]
+    return [cm.get(i + 1, str(i + 1)) for i in range(n_channels)]  # map is 1-based
 
 
 def greedy_channel_discovery_entry(FLAGS, corpus, eeg, train_idx, test_idx):

@@ -77,22 +77,56 @@ def main(argv=None):
 
     key = jax.random.key(FLAGS.seed)
 
-    def transform(mode, eeg, key):
+    def _image_features(model, sub_corpus, indices):
+        """Stimulus image → DINO features (the reference's img/img2eeg modes
+        run the model on the trial's JPEG, EEGRetreivalDino.py:130-277)."""
+        from PIL import Image
+
+        from cerebra.data.corpus import image_path
+
+        feats, batch = [], []
+
+        def flush():
+            if batch:
+                feats.append(np.asarray(model(jnp.asarray(np.stack(batch)))))
+                batch.clear()
+
+        for i in indices:
+            p = image_path(sub_corpus, int(i), FLAGS.images_root)
+            batch.append(model.dinov1_transform(np.asarray(Image.open(p).convert("RGB"))))
+            if len(batch) == 64:
+                flush()
+        flush()
+        out = np.concatenate(feats)
+        return out.reshape(len(out), -1)
+
+    def transform(mode, sub_corpus, indices, key):
+        eeg = sub_corpus.eeg[indices]
         if mode == "eeg":
             return eeg.reshape(len(eeg), -1)
         model = build_model(mode)
+        if mode in ("img", "img2eeg"):
+            if FLAGS.images_root and os.path.isdir(FLAGS.images_root):
+                return _image_features(model, sub_corpus, indices)
+            print(
+                f"WARNING: mode {mode} without a readable --images_root; "
+                "falling back to EEG-image input"
+            )
         return _dino_features(model, eeg, key, FLAGS.min_time, FLAGS.max_time)
 
     k1, k2 = jax.random.split(key)
     if query_corpus is not None:
-        g_eeg, g_labels = corpus.eeg, corpus.labels
-        q_eeg, q_labels = query_corpus.eeg, query_corpus.labels
+        g_corpus, gallery_idx, g_labels = corpus, np.arange(corpus.n), corpus.labels
+        q_corpus, query_idx, q_labels = (
+            query_corpus, np.arange(query_corpus.n), query_corpus.labels,
+        )
     else:
         gallery_idx, query_idx = split_train_val(FLAGS, corpus)
-        g_eeg, g_labels = corpus.eeg[gallery_idx], corpus.labels[gallery_idx]
-        q_eeg, q_labels = corpus.eeg[query_idx], corpus.labels[query_idx]
-    gallery = transform(FLAGS.gallery_tranformation_type, g_eeg, k1)
-    query = transform(FLAGS.query_tranformation_type, q_eeg, k2)
+        g_corpus = q_corpus = corpus
+        g_labels = corpus.labels[gallery_idx]
+        q_labels = corpus.labels[query_idx]
+    gallery = transform(FLAGS.gallery_tranformation_type, g_corpus, gallery_idx, k1)
+    query = transform(FLAGS.query_tranformation_type, q_corpus, query_idx, k2)
 
     recall, precision, scores = evaluate(
         gallery, query, list(g_labels), list(q_labels),

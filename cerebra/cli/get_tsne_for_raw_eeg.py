@@ -33,7 +33,10 @@ def main(argv=None):
             continue
         feats = corpus.eeg[mask].reshape(mask.sum(), -1)
         labels = corpus.labels[mask]
-        perplexity = min(FLAGS.perplexity, max(2, len(feats) - 2))
+        if len(feats) < 3:  # sklearn requires perplexity < n_samples
+            print(f"subject {subject}: only {len(feats)} trials, skipping t-SNE")
+            continue
+        perplexity = min(FLAGS.perplexity, len(feats) - 1)
         xt = TSNE(
             n_components=3, perplexity=perplexity, init="pca", learning_rate=0.1,
             max_iter=1000,

@@ -19,6 +19,7 @@ import numpy as np
 
 from cerebra.cli.common import (
     init_distributed,
+    is_main_process,
     load_corpus,
     reference_argparser,
     split_train_val,
@@ -104,8 +105,9 @@ def main(argv=None):
     dt = time.perf_counter() - t0
     print(f"Overall Recall :{recall} Overall Precision: {precision} (in {dt:.2f}s)")
     ds_name = "synthetic" if FLAGS.synthetic else os.path.basename(FLAGS.eeg_dataset).split(".")[0]
-    paths = save_score_artifacts(FLAGS.log_dir, ds_name, scores, recall, precision)
-    print("artifacts:", paths)
+    if is_main_process():  # file artifacts stay rank-0 (CLAUDE.md rule)
+        paths = save_score_artifacts(FLAGS.log_dir, ds_name, scores, recall, precision)
+        print("artifacts:", paths)
     return recall, precision
 
 

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from cerebra.cli.common import (
     init_distributed,
+    is_main_process,
     load_corpus,
     make_cli_mesh,
     reference_argparser,
@@ -89,9 +90,10 @@ def main(argv=None):
     state, hist = dino_vit_train(
         corpus.eeg, images=None, config=cfg, mesh=make_cli_mesh(FLAGS)
     )
-    with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:
-        for e, loss in enumerate(hist["loss"]):
-            f.write(json.dumps({"train_loss": loss, "epoch": e}) + "\n")
+    if is_main_process():  # file artifacts stay rank-0 (CLAUDE.md rule)
+        with open(os.path.join(FLAGS.log_dir, "log.txt"), "a") as f:
+            for e, loss in enumerate(hist["loss"]):
+                f.write(json.dumps({"train_loss": loss, "epoch": e}) + "\n")
     return state, hist
 
 

@@ -57,10 +57,20 @@ def main(argv=None):
         real = prior_imgs
 
     gen = GaussNoiseGenerator(rank=min(32, len(prior_imgs))).fit(prior_imgs)
-    noise = np.stack([
+    # noise must reach the model under the SAME preprocessing as the real
+    # images (dinov1_transform ImageNet-normalizes) — feeding [0,1] noise
+    # against normalized reals would make the cosine probe measure the
+    # preprocessing mismatch instead of feature content
+    from cerebra.signal.image_aug import IMAGENET_MEAN, IMAGENET_STD
+
+    noise01 = np.stack([
         gen.sample(rng, shape=(S, S, 3)).astype(np.float32) / 255.0
         for _ in range(FLAGS.n_noise)
     ])
+    if os.path.isdir(FLAGS.images_root):
+        noise = (noise01 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    else:  # synthetic reals are un-normalized [0,1]-range draws
+        noise = noise01
 
     f_real = np.asarray(model(jnp.asarray(real, dtype=jnp.float32)))
     f_noise = np.asarray(model(jnp.asarray(noise)))

@@ -65,6 +65,19 @@ def main(argv=None):
     attn = np.asarray(attn[0, :, 0, 1:])  # CLS → patch attention per head
     n_heads = attn.shape[0]
     grid = FLAGS.image_size // FLAGS.patch_size
+
+    th_attn = None
+    if FLAGS.threshold:
+        # keep only the top `threshold` fraction of each head's attention
+        # MASS (dino/visualize_attention.py:186-196): sort ascending,
+        # cumulative-normalize, mask where cum > 1 - threshold, un-sort
+        order = np.argsort(attn, axis=1)
+        val = np.take_along_axis(attn, order, axis=1)
+        cum = np.cumsum(val / val.sum(axis=1, keepdims=True), axis=1)
+        masked_sorted = cum > (1 - FLAGS.threshold)
+        th_attn = np.zeros_like(attn, dtype=bool)
+        np.put_along_axis(th_attn, order, masked_sorted, axis=1)
+
     paths = []
     for h in range(n_heads):
         a = attn[h].reshape(grid, grid)
@@ -76,6 +89,20 @@ def main(argv=None):
         plt.savefig(out, bbox_inches="tight", pad_inches=0)
         plt.close(fig)
         paths.append(out)
+        if th_attn is not None:
+            m = th_attn[h].reshape(grid, grid).astype(np.float32)
+            m = np.asarray(
+                jax.image.resize(jnp.asarray(m), (FLAGS.image_size,) * 2, "nearest")
+            )
+            fig = plt.figure(figsize=(5, 5))
+            plt.imshow(m, cmap="gray")
+            plt.axis("off")
+            out = os.path.join(
+                FLAGS.log_dir, f"mask_th{FLAGS.threshold}_head{h}.png"
+            )  # reference naming (dino/visualize_attention.py:213)
+            plt.savefig(out, bbox_inches="tight", pad_inches=0)
+            plt.close(fig)
+            paths.append(out)
     print(f"wrote {len(paths)} attention maps to {FLAGS.log_dir}")
     return paths
 

@@ -33,9 +33,16 @@ def parse_hyperparams(s: str) -> Dict:
     try:
         return json.loads(s)
     except json.JSONDecodeError:
-        out = ast.literal_eval(s)
+        try:
+            out = ast.literal_eval(s)
+        except (ValueError, SyntaxError) as e:
+            # called post-parse (not as an argparse type), so raise a clean
+            # usage error instead of letting SyntaxError traceback mid-run
+            raise SystemExit(
+                f"--hyperprams is neither JSON nor a Python literal dict: {s!r} ({e})"
+            )
         if not isinstance(out, dict):
-            raise argparse.ArgumentTypeError("hyperparams must be a dict")
+            raise SystemExit(f"--hyperprams must be a dict, got {type(out).__name__}")
         return out
 
 
