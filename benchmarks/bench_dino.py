@@ -75,9 +75,11 @@ def main(batch=1024):
         state, metrics = step(state, eeg, jax.random.key(9))
     _ = float(metrics["loss"])
 
-    _, state = run(state, 2, jax.random.key(1))      # settle
-    dt, state = run(state, 12, jax.random.key(2))    # measured
-    per_step = dt / 12
+    # difference two step counts so the fixed float() sync round trip
+    # cancels (CLAUDE.md tunnel timing rule; bench.py does the same)
+    d2, state = run(state, 2, jax.random.key(1))
+    d12, state = run(state, 12, jax.random.key(2))
+    per_step = (d12 - d2) / 10
     print(f"dino step: {per_step*1e3:.2f} ms at B={B} -> {B/per_step:.0f} windows/s "
           f"(loss {float(metrics['loss']):.4f})")
     return B / per_step

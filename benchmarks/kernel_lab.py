@@ -249,7 +249,10 @@ def exp_parts():
 def exp_bench2048():
     """Full bench step at B=2048 (amortization check)."""
     import importlib
-    sys.path.insert(0, ".")
+    import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:  # cwd-independent `import bench`
+        sys.path.insert(0, repo_root)
     import bench
     importlib.reload(bench)
     bench.B = 2048
@@ -942,7 +945,10 @@ def exp_dinoparts(batch=8):
         fwd(bp, hp, g0, l0)[:2]
     )
 
-    def loss_only(bp, hp, g, l):
+    # every large array (g0 ~19 MB, l0, t_out, center, feats) is a runtime
+    # ARGUMENT of its jit — a closure would bake it into the compiled HLO
+    # uploaded through the remote-compile tunnel (CLAUDE.md rule)
+    def loss_only(bp, hp, g, l, t_out, center):
         s_out = fwd(bp, hp, g, l)
         loss, new_center = dino_multicrop_loss(
             s_out, t_out, center, teacher_temp=0.04, student_temp=0.1,
@@ -952,32 +958,33 @@ def exp_dinoparts(batch=8):
 
     grad_full = jax.grad(loss_only, argnums=(0, 1))
 
-    def bb_global_grad(bp):
+    def bb_global_grad(bp, g):
         f = lambda p: jnp.sum(
-            backbone.apply({"params": p}, g0.reshape((2 * batch,) + g0.shape[2:])).astype(jnp.float32) ** 2
+            backbone.apply({"params": p}, g.reshape((2 * batch,) + g.shape[2:])).astype(jnp.float32) ** 2
         )
         return scalar(jax.grad(f)(bp))
 
-    def bb_local_grad(bp):
+    def bb_local_grad(bp, l):
         f = lambda p: jnp.sum(
-            backbone.apply({"params": p}, l0.reshape((4 * batch,) + l0.shape[2:])).astype(jnp.float32) ** 2
+            backbone.apply({"params": p}, l.reshape((4 * batch,) + l.shape[2:])).astype(jnp.float32) ** 2
         )
         return scalar(jax.grad(f)(bp))
 
     feats = jnp.asarray(rng.normal(size=(6 * batch, 384)), jnp.bfloat16)
 
-    def head_grad(hp):
+    def head_grad(hp, feats):
         f = lambda p: jnp.sum(head.apply({"params": p}, feats).astype(jnp.float32) ** 2)
         return scalar(jax.grad(f)(hp))
 
     for tag, fn, args in (
         ("views (2 glob tile + 4 loc crop)", views, (key, eeg, imgs)),
         ("teacher fwd (2x224 + head)", teacher_fwd, (bp, hp, g0)),
-        ("student fwd + loss (6 views)", loss_only, (bp, hp, g0, l0)),
-        ("student fwd+bwd (full grad)", lambda *a: scalar(grad_full(*a)), (bp, hp, g0, l0)),
-        ("backbone-only grad, 2x224", bb_global_grad, (bp,)),
-        ("backbone-only grad, 4x96", bb_local_grad, (bp,)),
-        ("head-only grad (48,384->65536)", head_grad, (hp,)),
+        ("student fwd + loss (6 views)", loss_only, (bp, hp, g0, l0, t_out, center)),
+        ("student fwd+bwd (full grad)", lambda *a: scalar(grad_full(*a)),
+         (bp, hp, g0, l0, t_out, center)),
+        ("backbone-only grad, 2x224", bb_global_grad, (bp, g0)),
+        ("backbone-only grad, 4x96", bb_local_grad, (bp, l0)),
+        ("head-only grad (48,384->65536)", head_grad, (hp, feats)),
     ):
         jfn = jax.jit(fn)
         dt = timeit(jfn, *args)
@@ -1087,8 +1094,20 @@ def exp_vitroof(batch=16, n_tokens=785, dim=384, heads=6, mlp=1536):
         if gbytes:
             line += f"  {gbytes/dt:6.0f} GB/s"
         if grad_wrt is not None:
-            g = jax.jit(jax.grad(lambda *a: s(fn(*a)), argnums=grad_wrt))
-            dtg = timeit(lambda *a: jax.tree.leaves(g(*a))[-1], *args)
+            # value_and_grad: grad alone lets XLA DCE the primal matmul (dx
+            # and dw need only the cotangent), so the '3x' label would cover
+            # 2 matmuls of executed work; the value output forces all 3.
+            # The sync scalar folds EVERY grad leaf in (axon can serve a
+            # partial result before the rest completes).
+            vg = jax.value_and_grad(lambda *a: s(fn(*a)), argnums=grad_wrt)
+
+            def full(*a):
+                val, grads = vg(*a)
+                return val + sum(
+                    jnp.sum(t.astype(jnp.float32)) for t in jax.tree.leaves(grads)
+                )
+
+            dtg = timeit(jax.jit(full), *args)
             line += f" | fwd+bwd {dtg*1e3:7.3f} ms"
             if gflops:
                 line += f"  {3*gflops/dtg/1e3:6.1f} TF/s(3x)"
@@ -1178,8 +1197,13 @@ def exp_vitmlp(batch=16, n_tokens=785, dim=384, mlp=1536, tile=256):
                     ("XLA", xla_ref)):
         f = jax.jit(lambda *a, _fn=fn: s(_fn(*a)))
         dt = timeit(f, x, *params)
-        gr = jax.jit(jax.grad(lambda *a, _fn=fn: s(_fn(*a)), argnums=tuple(range(7))))
-        dtg = timeit(lambda *a: jax.tree.leaves(gr(*a))[-1], x, *params)
+        # sync on value + EVERY grad leaf: a single-leaf sync (e.g. the
+        # final bias grad, a constant under sum-loss) can be served before
+        # the heavy dW/dx matmuls finish on axon
+        vg = jax.value_and_grad(lambda *a, _fn=fn: s(_fn(*a)), argnums=tuple(range(7)))
+        gr = jax.jit(lambda *a: jax.tree.reduce(
+            lambda acc, t: acc + jnp.sum(t.astype(jnp.float32)), vg(*a), 0.0))
+        dtg = timeit(gr, x, *params)
         print(
             f"[vitmlp] {tag:12s} fwd {dt*1e3:7.3f} ms ({gf/dt/1e3:6.1f} TF/s) | "
             f"fwd+bwd {dtg*1e3:7.3f} ms ({3*gf/dtg/1e3:6.1f} TF/s at 3x)",
@@ -1241,8 +1265,13 @@ def exp_vitattn(batch=16, n_tokens=785, dim=384, heads=6, pad=16):
     ):
         f = jax.jit(lambda *a, _fn=fn: s(_fn(*a)))
         dt = timeit(f, x, *params)
-        gr = jax.jit(jax.grad(lambda *a, _fn=fn: s(_fn(*a)), argnums=tuple(range(7))))
-        dtg = timeit(lambda *a: jax.tree.leaves(gr(*a))[-1], x, *params)
+        # sync on value + EVERY grad leaf: a single-leaf sync (e.g. the
+        # final bias grad, a constant under sum-loss) can be served before
+        # the heavy dW/dx matmuls finish on axon
+        vg = jax.value_and_grad(lambda *a, _fn=fn: s(_fn(*a)), argnums=tuple(range(7)))
+        gr = jax.jit(lambda *a: jax.tree.reduce(
+            lambda acc, t: acc + jnp.sum(t.astype(jnp.float32)), vg(*a), 0.0))
+        dtg = timeit(gr, x, *params)
         print(
             f"[vitattn] {tag:12s} fwd {dt*1e3:7.3f} ms ({gf/dt/1e3:6.1f} TF/s) | "
             f"fwd+bwd {dtg*1e3:7.3f} ms ({3*gf/dtg/1e3:6.1f} TF/s at 3x)",
@@ -1257,10 +1286,28 @@ EXPS["vitattn"] = exp_vitattn
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["baseline"]
+    argv = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)
-    for name in names:
+
+    def _numeric(tok: str) -> bool:
         try:
-            EXPS[name]()
+            float(tok)
+            return True
+        except ValueError:
+            return False
+
+    # `name n1 n2 ...` = ONE experiment with positional numeric args (e.g.
+    # `rcstack 1024 96 4 128 300`, `vitattn 16 785 384 6 128`); otherwise
+    # every token is an experiment name run at its default shapes
+    if argv[0] in EXPS and len(argv) > 1 and all(_numeric(a) for a in argv[1:]):
+        nums = [int(a) if float(a) == int(float(a)) else float(a) for a in argv[1:]]
+        try:
+            EXPS[argv[0]](*nums)
         except Exception as e:
-            print(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+            print(f"[{argv[0]}] FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+    else:
+        for name in argv:
+            try:
+                EXPS[name]()
+            except Exception as e:
+                print(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)

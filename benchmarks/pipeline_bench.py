@@ -123,11 +123,13 @@ if __name__ == "__main__":
     import jax
 
     print(f"devices: {jax.devices()}", flush=True)
-    args = sys.argv[1:] or list(BENCHES)
-    name = args[0] if args and args[0] in BENCHES else None
-    if name:
-        extra = [int(a) for a in args[1:]]
-        BENCHES[name](*extra)
+    args = sys.argv[1:]
+    if args and args[0] in BENCHES and any(a not in BENCHES for a in args[1:]):
+        # one bench with numeric extras: `pipeline_bench main_dino 8 0 0 1 1`
+        BENCHES[args[0]](*[int(a) for a in args[1:]])
     else:
-        for n in args:
+        # zero args = all benches at defaults; N bench names = each in turn
+        for n in args or list(BENCHES):
+            if n not in BENCHES:
+                raise SystemExit(f"unknown bench {n!r}; choose from {list(BENCHES)}")
             BENCHES[n]()
