@@ -9,12 +9,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional
 
 import numpy as np
 
 from cerebra.data.bdf import BDFData
+from cerebra.utils.native_build import build_and_load
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "bdf_reader.cpp"))
@@ -24,23 +24,11 @@ _LIB = os.path.join(_BUILD_DIR, "libbdf_reader.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> str:
-    os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-pthread", _SRC, "-o", _LIB,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    return _LIB
-
-
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        _build()
-    lib = ctypes.CDLL(_LIB)
+    lib = build_and_load(_SRC, _LIB)
     lib.bdf_query.restype = ctypes.c_int
     lib.bdf_query.argtypes = [
         ctypes.c_char_p,
@@ -85,7 +73,7 @@ def read_raw_bdf(path: str) -> BDFData:
     if rc != 0:
         raise ValueError(f"bdf_read failed (rc={rc}) for {path!r}")
     labels = [
-        labels_buf.raw[17 * i : 17 * i + 16].split(b"\0", 1)[0].decode("ascii").strip()
+        labels_buf.raw[17 * i : 17 * i + 16].split(b"\0", 1)[0].decode("ascii", errors="replace").strip()
         for i in range(C)
     ]
     return BDFData(

@@ -10,10 +10,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
+
+from cerebra.utils.native_build import build_and_load
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "topk_l2.cpp"))
@@ -23,23 +24,11 @@ _LIB = os.path.join(_BUILD_DIR, "libtopk_l2.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> str:
-    os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-pthread", _SRC, "-o", _LIB,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    return _LIB
-
-
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        _build()
-    lib = ctypes.CDLL(_LIB)
+    lib = build_and_load(_SRC, _LIB)
     lib.topk_l2.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -64,10 +53,27 @@ def topk_l2_native(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact squared-L2 k-NN on the host (faiss IndexFlatL2 semantics)."""
     lib = _load()
-    gallery = np.ascontiguousarray(gallery.reshape(len(gallery), -1), dtype=np.float32)
-    query = np.ascontiguousarray(query.reshape(len(query), -1), dtype=np.float32)
+
+    def as2d(a):
+        a = np.asarray(a, dtype=np.float32)
+        # reshape(n, -1) cannot infer -1 when n == 0; flatten explicitly
+        feat = int(np.prod(a.shape[1:])) if a.ndim > 1 else 1
+        return np.ascontiguousarray(a.reshape(a.shape[0], feat))
+
+    gallery = as2d(gallery)
+    query = as2d(query)
     ng, dim = gallery.shape
     nq = query.shape[0]
+    if query.shape[1] != dim:
+        raise ValueError(
+            f"query dim {query.shape[1]} != gallery dim {dim} — the C kernel "
+            "would read out of bounds"
+        )
+    if ng == 0 or nq == 0:  # empty split: defined empty/sentinel result
+        return (
+            np.full((nq, k), np.float32(np.finfo(np.float32).max), np.float32),
+            np.full((nq, k), -1, np.int64),
+        )
     k = min(k, ng)
     out_dist = np.empty((nq, k), dtype=np.float32)
     out_idx = np.empty((nq, k), dtype=np.int64)

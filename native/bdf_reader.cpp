@@ -89,6 +89,7 @@ int parse_header(FILE* f, Header* out) {
   out->data_offset = 256 + 256L * C;
 
   long bytes_per_record = 3L * out->spr * C;
+  if (bytes_per_record <= 0) return 7;  // malformed: spr 0 would SIGFPE below
   if (out->n_records <= 0) {  // unknown (-1): infer from file size
     fseek(f, 0, SEEK_END);
     long size = ftell(f);
@@ -127,7 +128,16 @@ extern "C" int bdf_read(const char* path, float* signals, int32_t* status,
   const long T = h.n_samples;
 
   fseek(f, h.data_offset, SEEK_SET);
-  std::vector<uint8_t> raw(3L * spr * C * R);
+  // a corrupt header can declare terabytes; bad_alloc must become an error
+  // code, not a std::terminate() across the extern "C" boundary (the Python
+  // caller falls back to the numpy reader on nonzero rc)
+  std::vector<uint8_t> raw;
+  try {
+    raw.resize(3L * spr * C * R);
+  } catch (const std::bad_alloc&) {
+    fclose(f);
+    return 8;
+  }
   size_t got = fread(raw.data(), 1, raw.size(), f);
   fclose(f);
   if (got != raw.size()) return 6;

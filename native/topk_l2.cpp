@@ -10,6 +10,7 @@
 //            topk_l2.cpp -o libtopk_l2.so
 
 #include <algorithm>
+#include <cfloat>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -24,8 +25,10 @@ struct HeapEntry {
 
 // max-heap on dist so the worst kept neighbor is at the top
 inline bool heap_less(const HeapEntry& a, const HeapEntry& b) {
+  // "a is strictly better than b": nearer, ties broken by LOWER gallery
+  // index (faiss IndexFlatL2 / jax.lax.top_k convention)
   if (a.dist != b.dist) return a.dist < b.dist;
-  return a.idx > b.idx;  // larger index = "worse" on ties
+  return a.idx < b.idx;
 }
 
 void search_rows(const float* gallery, const float* query,
@@ -61,8 +64,9 @@ void search_rows(const float* gallery, const float* query,
       if (j < (int64_t)heap.size()) {
         out_dist[q * k + j] = heap[j].dist;
         out_idx[q * k + j] = heap[j].idx;
-      } else {
-        out_dist[q * k + j] = -1.f;
+      } else {  // k > ng: faiss pads with FLT_MAX / -1 (NOT -1.0 distance,
+        // which would ascending-sort ahead of every real neighbor)
+        out_dist[q * k + j] = FLT_MAX;
         out_idx[q * k + j] = -1;
       }
     }
@@ -78,7 +82,6 @@ extern "C" {
 void topk_l2(const float* gallery, const float* query, int64_t ng, int64_t nq,
              int64_t dim, int64_t k, float* out_dist, int64_t* out_idx,
              int32_t n_threads) {
-  if (k > ng) k = ng;
   std::vector<float> gallery_sq(ng);
   for (int64_t g = 0; g < ng; ++g) {
     const float* gv = gallery + g * dim;

@@ -50,3 +50,31 @@ def test_k_larger_than_gallery(rng):
     q = rng.normal(size=(2, 4)).astype(np.float32)
     D, I = topk_l2_native(g, q, k=10)
     assert D.shape == (2, 3)  # clamped to gallery size
+
+
+def test_native_tiebreak_lower_index_wins():
+    """faiss IndexFlatL2 / jax.lax.top_k convention: equal distances rank by
+    LOWER gallery index (the heap comparator was inverted, returning [3,2]
+    for an all-identical gallery)."""
+    from cerebra.eval.native_topk import available, topk_l2_native
+
+    if not available():
+        pytest.skip("no C++ toolchain")
+    g = np.ones((4, 3), np.float32)
+    q = np.ones((2, 3), np.float32)
+    _, idx = topk_l2_native(g, q, k=2)
+    np.testing.assert_array_equal(idx, [[0, 1], [0, 1]])
+
+
+def test_native_topk_input_guards():
+    """Mismatched query dim raises (the C kernel would read out of bounds);
+    empty gallery/query return sentinel-shaped results instead of crashing
+    on reshape(0, -1)."""
+    from cerebra.eval.native_topk import available, topk_l2_native
+
+    if not available():
+        pytest.skip("no C++ toolchain")
+    with pytest.raises(ValueError, match="query dim"):
+        topk_l2_native(np.zeros((4, 3), np.float32), np.zeros((2, 5), np.float32), 2)
+    d, i = topk_l2_native(np.zeros((0, 3), np.float32), np.ones((2, 3), np.float32), 2)
+    assert d.shape == (2, 2) and (i == -1).all()
