@@ -78,3 +78,25 @@ def test_native_topk_input_guards():
         topk_l2_native(np.zeros((4, 3), np.float32), np.zeros((2, 5), np.float32), 2)
     d, i = topk_l2_native(np.zeros((0, 3), np.float32), np.ones((2, 3), np.float32), 2)
     assert d.shape == (2, 2) and (i == -1).all()
+
+
+def test_three_way_tie_parity_device_native_numpy():
+    """On a gallery with duplicated rows (dead channels / repeated stimuli)
+    the device kernel (lax.top_k, stable: lower index wins), the C++ kernel,
+    and a numpy stable argsort must return the SAME indices — ties are where
+    distance-only parity checks go blind."""
+    from cerebra.eval.native_topk import available, topk_l2_native
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(3, 4)).astype(np.float32)
+    g = np.concatenate([base, base, base])  # every row duplicated 3x
+    q = base + rng.normal(scale=0.01, size=base.shape).astype(np.float32)
+    k = 6
+
+    _, idx_dev = l2_topk(jnp.asarray(g), jnp.asarray(q), k)
+    d2 = ((q[:, None, :] - g[None, :, :]) ** 2).sum(-1).astype(np.float32)
+    idx_np = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(idx_dev), idx_np)
+    if available():
+        _, idx_nat = topk_l2_native(g, q, k)
+        np.testing.assert_array_equal(idx_nat, idx_np)
