@@ -13,11 +13,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _batch_norm_nonaffine(z: jax.Array, eps: float = 1e-5) -> jax.Array:
+def _batch_norm_nonaffine(
+    z: jax.Array, eps: float = 1e-5, axis_name: Optional[str] = None
+) -> jax.Array:
     """nn.BatchNorm1d(affine=False) training-mode: per-feature standardization
-    across the batch (biased variance, matching torch's normalizer)."""
+    across the batch (biased variance, matching torch's normalizer).
+
+    With `axis_name` the statistics are pmean-reduced over the collective
+    axis — SyncBatchNorm semantics (EEG-BarlowNetworks/train.py:89): the
+    reference standardizes with GLOBAL batch stats, so the shard_map path
+    must too or its loss/gradients diverge from the GSPMD meshed recipe."""
     mean = jnp.mean(z, axis=0, keepdims=True)
-    var = jnp.var(z, axis=0, keepdims=True)
+    sq = jnp.mean(z * z, axis=0, keepdims=True)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        sq = jax.lax.pmean(sq, axis_name)
+    var = sq - mean * mean
     return (z - mean) * jax.lax.rsqrt(var + eps)
 
 
@@ -32,7 +43,10 @@ def barlow_twins_loss(
         global_batch_size = z1.shape[0] * (
             jax.lax.psum(1, axis_name) if axis_name is not None else 1
         )
-    c = _batch_norm_nonaffine(z1).T @ _batch_norm_nonaffine(z2)
+    c = (
+        _batch_norm_nonaffine(z1, axis_name=axis_name).T
+        @ _batch_norm_nonaffine(z2, axis_name=axis_name)
+    )
     c = c / global_batch_size
     if axis_name is not None:
         c = jax.lax.psum(c, axis_name)

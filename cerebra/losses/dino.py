@@ -110,6 +110,12 @@ def dino_multicrop_loss(
                 ce = -jnp.sum(teacher_probs[iq] * student_log[v], axis=-1)
                 total = total + jnp.mean(ce)
                 n_terms += 1
+    if n_terms == 0:
+        raise ValueError(
+            "dino_multicrop_loss: no (teacher, student) pair survives the "
+            "v == iq skip — need at least 2 crops (or 2 teacher views); "
+            "got n_teacher=1, n_crops=1"
+        )
     loss = total / n_terms
     new_center = update_center(
         center, teacher_output.reshape(-1, teacher_output.shape[-1]), center_momentum, axis_name

@@ -57,10 +57,13 @@ def feature_distribution_loss_v3(
     """LstmDistillFromDinoV2Eval.py:106-146 (soft-target KL · T²):
     sum(p_T · (log p_T − log q_T)) / B · T².
 
-    p is clipped before the log like kd.py: torch's KLDiv/xlogy treats
-    0·log 0 as 0, but jnp 0·(-inf) is NaN — an underflowed teacher softmax
-    (routine at DINO-scale temps, (x−max)/T < −104 in f32) must not poison
-    the loss."""
+    DELIBERATE robustness deviation: the cited reference computes
+    `soft_targets.log()` directly and would itself produce NaN when a
+    teacher class underflows to 0 (routine at DINO-scale temps,
+    (x−max)/T < −104 in f32) — only the nn.KLDivLoss-based hinton path is
+    xlogy-safe in torch. We clip p before the log so an underflowed class
+    contributes 0 instead of poisoning the loss; the values match the
+    reference everywhere the reference is finite."""
     T = temperature
     p = jax.nn.softmax(teacher_outputs / T, axis=-1)
     log_q = jax.nn.log_softmax(student_outputs / T, axis=-1)

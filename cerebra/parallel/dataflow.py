@@ -82,7 +82,12 @@ def shard_corpus(
     n_local = -(-N // n_data)
     total = n_data * n_local
     if total != N:
-        arr = np.concatenate([arr, arr[: total - N]], axis=0)
+        # CYCLIC wrap (np.resize semantics): a single arr[:pad] slice under-
+        # fills whenever pad > N (tiny corpus on a wide mesh) and the
+        # reshape below would crash; DistributedSampler repeats indices
+        # cyclically in exactly this case
+        reps = np.concatenate([arr] * (-(-(total - N) // max(N, 1)) + 1), axis=0)
+        arr = np.concatenate([arr, reps[: total - N]], axis=0)[:total]
     blocked = np.ascontiguousarray(arr.reshape((n_data, n_local) + arr.shape[1:]))
     spec = _corpus_spec(blocked.ndim, axis)
     sharding = NamedSharding(mesh, spec)

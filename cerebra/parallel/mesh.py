@@ -46,7 +46,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """device_put every array in the pytree with its batch dim sharded."""
+    """device_put every array in the pytree with its batch dim sharded;
+    0-d leaves (step counters, epoch scalars) are replicated — a rank-1
+    P(axis) spec on a scalar is rejected by device_put."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)), batch
+        lambda x: jax.device_put(
+            x,
+            data_sharding(mesh, np.ndim(x), axis) if np.ndim(x) else replicated(mesh),
+        ),
+        batch,
     )

@@ -35,7 +35,7 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
     size = mesh.shape[axis]
 
     def put(x):
-        if np.ndim(x) == 2 and x.shape[-1] % size == 0 and x.shape[-1] >= size:
+        if np.ndim(x) == 2 and x.shape[-1] > 0 and x.shape[-1] % size == 0:
             spec = P(None, axis)
         else:
             spec = P()
@@ -82,12 +82,10 @@ def shard_dino_state(mesh: Mesh, state, axis: str = "model", out_dim: Optional[i
 
         return put_replicated(mesh, state)
 
+    from cerebra.parallel.dataflow import put_global
+
     def put(path, leaf):
         spec = dino_tp_spec(path, leaf, model_size, axis)
-        sharding = NamedSharding(mesh, spec)
-        if jax.process_count() == 1:
-            return jax.device_put(leaf, sharding)
-        arr = np.asarray(leaf)
-        return jax.make_array_from_callback(arr.shape, sharding, lambda i: arr[i])
+        return put_global(mesh, np.asarray(leaf), spec)
 
     return jax.tree_util.tree_map_with_path(put, state)

@@ -194,3 +194,52 @@ def test_host_replicated_gathers_tp_sharded_leaves():
     for k in tree:
         assert isinstance(host[k], np.ndarray), k
         np.testing.assert_array_equal(host[k], tree[k])
+
+
+def test_shard_corpus_tiny_corpus_wrap_pads_cyclically():
+    """pad > N (tiny corpus, wide mesh) must wrap cyclically like
+    DistributedSampler, not crash on an under-filled reshape."""
+    from cerebra.parallel.dataflow import shard_corpus
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))  # 8 devices
+    arr = np.arange(3 * 4, dtype=np.float32).reshape(3, 4)  # N=3 < 8
+    blocked, n_local = shard_corpus(mesh, arr)
+    assert n_local == 1 and blocked.shape == (8, 1, 4)
+    host = np.asarray(blocked).reshape(8, 4)
+    np.testing.assert_allclose(host, arr[np.arange(8) % 3])
+
+
+def test_shard_batch_replicates_scalar_leaves():
+    from cerebra.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    out = shard_batch(mesh, {"x": jnp.ones((8, 4)), "epoch": jnp.asarray(3)})
+    assert int(out["epoch"]) == 3
+    assert out["epoch"].sharding.is_fully_replicated
+
+
+def test_barlow_shard_map_loss_matches_global():
+    """The axis_name (shard_map) path must standardize with GLOBAL batch
+    statistics (SyncBatchNorm, EEG-BarlowNetworks/train.py:89) — per-shard
+    stats would diverge from the GSPMD meshed recipe's implicit global BN."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from cerebra.losses.barlow import barlow_twins_loss
+
+    rng = np.random.default_rng(0)
+    B, D = 32, 16
+    z1 = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    z2 = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    want = float(barlow_twins_loss(z1, z2))
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    f = shard_map(
+        partial(barlow_twins_loss, axis_name="data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
+    )
+    got = float(jax.jit(f)(z1, z2))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
