@@ -50,12 +50,25 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _erf(x):
+    """erf for Mosaic: the TPU Pallas lowering has no ``erf`` primitive
+    (NotImplementedError at lowering.py:1225, caught by the round-5 hardware
+    smoke — interpret mode accepts it). Abramowitz & Stegun 7.1.26 rational
+    approximation, max abs error 1.5e-7 over the line — below f32 noise for
+    the GELU inputs seen here. exp/where/abs all lower on Mosaic."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.where(x < 0, -y, y)
+
+
 def _gelu_exact(h):
-    return 0.5 * h * (1.0 + jax.lax.erf(h / _SQRT_2))
+    return 0.5 * h * (1.0 + _erf(h / _SQRT_2))
 
 
 def _dgelu_exact(h):
-    return 0.5 * (1.0 + jax.lax.erf(h / _SQRT_2)) + h * jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
+    return 0.5 * (1.0 + _erf(h / _SQRT_2)) + h * jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
 
 
 def _layernorm_f32(x):
