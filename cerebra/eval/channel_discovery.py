@@ -180,6 +180,35 @@ def _chunk_recall(D_chunk, accum, g_lab, q_lab, k, n_classes):
     return recall_for_distances(accum[None] + D_chunk, g_lab, q_lab, k, n_classes)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_classes"))
+def _chunk_recall_raw(g_c, q_c, accum, g_lab, q_lab, k, n_classes):
+    """Candidate recalls for a chunk of channels, distances computed ON THE
+    FLY from the raw (chunk, N, T) channel slices. The chunk's (chunk, Nq,
+    Ng) distance block exists only transiently inside this call — the full
+    (C, Nq, Ng) tensor is never materialized (11.7 GB f32 at Spampinato
+    scale 128×2393×9572; keeping it resident OOM'd the 15.75 GB v5e HBM in
+    the round-5 hardware run even with chunked evaluation). The recompute
+    is one MXU einsum, ~21 GFLOP per channel — noise next to the top-k."""
+    g = g_c.astype(jnp.float32)  # (chunk, Ng, T)
+    q = q_c.astype(jnp.float32)  # (chunk, Nq, T)
+    cross = jnp.einsum("cqt,cgt->cqg", q, g)
+    g_sq = jnp.sum(g * g, axis=2)  # (chunk, Ng)
+    q_sq = jnp.sum(q * q, axis=2)  # (chunk, Nq)
+    d = q_sq[:, :, None] - 2.0 * cross + g_sq[:, None, :]
+    return recall_for_distances(accum[None] + d, g_lab, q_lab, k, n_classes)
+
+
+@jax.jit
+def _channel_distance(g_1, q_1):
+    """(Nq, Ng) squared-L2 distances for ONE channel's (N, T) slices."""
+    g = g_1.astype(jnp.float32)
+    q = q_1.astype(jnp.float32)
+    cross = q @ g.T
+    return (
+        jnp.sum(q * q, axis=1)[:, None] - 2.0 * cross + jnp.sum(g * g, axis=1)[None, :]
+    )
+
+
 def greedy_channel_discovery(
     gallery: np.ndarray,  # (Ng, T, C)
     query: np.ndarray,  # (Nq, T, C)
@@ -200,13 +229,16 @@ def greedy_channel_discovery(
 
     `channel_chunk` bounds peak memory at full Spampinato scale
     (TestRetrieval_DiscoverChannels.py:189-425: 128 ch × ~9.6k gallery ×
-    ~2.4k query → D alone is ~11.7 GB f32): candidate recalls are evaluated
-    in channel chunks, so the transient accum+D tensor is (chunk, Nq, Ng)
-    instead of the full (C, Nq, Ng). None (default) evaluates all channels
-    in one call, identical to before. A chunk that does not divide C is
-    fine: the final slice is zero-padded to the full chunk width so every
-    call shares ONE jit signature (a ragged last chunk would otherwise cost
-    a second 60-300 s remote compile on the tunneled TPU), and the padded
+    ~2.4k query → the per-channel distance tensor D is ~11.7 GB f32, most
+    of a v5e's 15.75 GB HBM — the round-5 hardware run OOM'd with it
+    resident): with a chunk set, D is NEVER materialized; each candidate
+    chunk's (chunk, Nq, Ng) distance block is recomputed on the fly from
+    the raw channel slices (one MXU einsum, ~21 GFLOP/channel) and exists
+    only inside one device call. None (default) precomputes the full D
+    once — cheapest when it fits. A chunk that does not divide C is fine:
+    the final slice is zero-padded to the full chunk width so every call
+    shares ONE jit signature (a ragged last chunk would otherwise cost a
+    second 60-300 s remote compile on the tunneled TPU), and the padded
     rows' recalls are discarded.
     """
     C = gallery.shape[-1]
@@ -215,22 +247,38 @@ def greedy_channel_discovery(
     if max_channels is None:
         max_channels = C
     chunk = channel_chunk or C
-    D = per_channel_distances(jnp.asarray(gallery), jnp.asarray(query))  # (C, Nq, Ng)
     g_lab = jnp.asarray(gallery_labels)
     q_lab = jnp.asarray(query_labels)
+    if channel_chunk is None:
+        D = per_channel_distances(jnp.asarray(gallery), jnp.asarray(query))  # (C, Nq, Ng)
+        Nq, Ng = D.shape[1:]
+        g_cm = q_cm = None
+    else:
+        D = None
+        # channel-major raw slices stay resident instead of D: (C, N, T)
+        g_cm = jnp.asarray(gallery, dtype=jnp.float32).transpose(2, 0, 1)
+        q_cm = jnp.asarray(query, dtype=jnp.float32).transpose(2, 0, 1)
+        Nq, Ng = q_cm.shape[1], g_cm.shape[1]
 
     selected: List[int] = []
     recalls: List[float] = []
     per_iteration: List[np.ndarray] = []
-    accum = jnp.zeros(D.shape[1:], dtype=jnp.float32)
+    accum = jnp.zeros((Nq, Ng), dtype=jnp.float32)
     best_so_far = -np.inf
     taken = np.zeros(C, dtype=bool)
 
+    def pad_chunk(x):
+        if x.shape[0] != chunk:  # pad ONLY the last slice
+            x = jnp.pad(x, ((0, chunk - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+        return x
+
     def eval_chunk(c0: int) -> np.ndarray:
-        Dc = D[c0 : c0 + chunk]
-        if Dc.shape[0] != chunk:  # pad ONLY the last slice (never copy all of D)
-            Dc = jnp.pad(Dc, ((0, chunk - Dc.shape[0]), (0, 0), (0, 0)))
-        return np.asarray(_chunk_recall(Dc, accum, g_lab, q_lab, top_k, n_classes))
+        if D is not None:
+            Dc = pad_chunk(D[c0 : c0 + chunk])
+            return np.asarray(_chunk_recall(Dc, accum, g_lab, q_lab, top_k, n_classes))
+        gc = pad_chunk(g_cm[c0 : c0 + chunk])
+        qc = pad_chunk(q_cm[c0 : c0 + chunk])
+        return np.asarray(_chunk_recall_raw(gc, qc, accum, g_lab, q_lab, top_k, n_classes))
 
     for _ in range(min(max_channels, C)):  # > C would re-select channel 0
         cand_recall = np.concatenate(
@@ -246,6 +294,8 @@ def greedy_channel_discovery(
         taken[best_c] = True
         selected.append(best_c)
         recalls.append(best_r)
-        accum = accum + D[best_c]
+        accum = accum + (
+            D[best_c] if D is not None else _channel_distance(g_cm[best_c], q_cm[best_c])
+        )
 
     return ChannelDiscoveryResult(selected=selected, recalls=recalls, per_iteration=per_iteration)

@@ -52,6 +52,7 @@ from cerebra.models.pallas_vit_mlp import (
     _layernorm_f32,
     _matmul,
     _matmul_bt,
+    _vmem_params,
     _whole_spec,
 )
 
@@ -239,6 +240,7 @@ def _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad, compute_dtype):
         out_specs=_seq_spec(D, np_),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         interpret=_interpret(),
+        compiler_params=_vmem_params(64),
     )(xp, *prepped)
     out = out.reshape(B, np_, D)[:, :N]
     return out, (x, g, b, wqkv, bqkv, wproj, bproj)
@@ -288,6 +290,7 @@ def _bwd(num_heads, pad, compute_dtype, res, dout):
             jax.ShapeDtypeStruct((1, D), f32),
         ],
         interpret=_interpret(),
+        compiler_params=_vmem_params(64),
     )(xp, dp_, *prepped[:-1])
     dx, dg, db, dwq, dwk, dwv, dbq, dbk, dbv, dwp, dbp = outs
 

@@ -50,6 +50,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _vmem_params(limit_mib: int):
+    """Raise Mosaic's scoped-vmem stack limit (default 16 MiB). The fused
+    attention backward holds two (Np, Np) f32 score/d-score blocks plus the
+    recomputed head tensors in VMEM at the recipe's global-crop shape
+    (Np=800) — 16.61 MiB, 3.9% over the default limit (round-5 hardware
+    smoke: "Scoped allocation ... exceeded scoped vmem limit by 622.0K").
+    v5e VMEM is 128 MiB; a 64 MiB cap leaves the other half for Mosaic's
+    input/output double buffering. Interpret mode takes no compiler params."""
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=limit_mib * 1024 * 1024)
+
+
 def _erf(x):
     """erf for Mosaic: the TPU Pallas lowering has no ``erf`` primitive
     (NotImplementedError at lowering.py:1225, caught by the round-5 hardware

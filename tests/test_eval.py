@@ -293,7 +293,7 @@ def test_greedy_discovery_channel_chunk_equivalent():
 
     from cerebra.eval import channel_discovery as cd
 
-    cd._chunk_recall._clear_cache()
+    cd._chunk_recall_raw._clear_cache()
     b = greedy_channel_discovery(
         g, q, gl, ql, max_channels=4, stop_on_no_improvement=False, channel_chunk=3
     )
@@ -301,4 +301,6 @@ def test_greedy_discovery_channel_chunk_equivalent():
     assert a.recalls == b.recalls
     # ADVICE r4: the ragged last chunk (8 % 3 = 2) must be padded to the full
     # chunk width — ONE jit signature, not a second 60-300 s remote compile
-    assert cd._chunk_recall._cache_size() == 1
+    # (round 5: the chunked path streams raw channel slices through
+    # _chunk_recall_raw; the full distance tensor is never materialized)
+    assert cd._chunk_recall_raw._cache_size() == 1
