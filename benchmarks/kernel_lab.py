@@ -896,7 +896,9 @@ def exp_dinoparts(batch=8):
     from cerebra.models.multicrop import multicrop_forward
     from cerebra.train.dino_vit import DinoVitConfig, build_vit, make_eeg_image_view_fn
 
-    cfg = DinoVitConfig(dtype=jnp.bfloat16)
+    # pin the unfused XLA baseline: use_fused_mlp defaults to auto (ON on
+    # TPU since round 5) and would otherwise shift these decomposition rows
+    cfg = DinoVitConfig(dtype=jnp.bfloat16, use_fused_mlp=False, use_fused_attn=False)
     backbone = build_vit(cfg)
     head = DINOHead(
         in_dim=384, out_dim=cfg.out_dim, use_bn=cfg.use_bn_in_head,
@@ -1008,7 +1010,9 @@ def exp_dinotail(batch=8):
     from cerebra.train.ema import ema_update
     from cerebra.train.steps import make_scheduled_optimizer
 
-    cfg = DinoVitConfig(dtype=jnp.bfloat16)
+    # pin the unfused XLA baseline: use_fused_mlp defaults to auto (ON on
+    # TPU since round 5) and would otherwise shift these decomposition rows
+    cfg = DinoVitConfig(dtype=jnp.bfloat16, use_fused_mlp=False, use_fused_attn=False)
     backbone = build_vit(cfg)
     head = DINOHead(
         in_dim=384, out_dim=cfg.out_dim, use_bn=cfg.use_bn_in_head,

@@ -51,10 +51,23 @@ def main(argv=None):
     # beyond the reference: jax.checkpoint each ViT block (measured -16% at
     # reference scale, BENCH_AUX round 3 — a memory lever for vit_base+)
     parser.add_argument("--remat", type=bool_flag, default=False)
-    parser.add_argument("--use_fused_mlp", type=bool_flag, default=False,
-                        help="fused Pallas MLP half-block in every ViT block")
-    parser.add_argument("--use_fused_attn", type=bool_flag, default=False,
-                        help="fused Pallas attention half-block in every ViT block")
+    parser.add_argument(
+        "--use_fused_mlp",
+        type=lambda s: None if s.lower() == "auto" else bool_flag(s),
+        default=None,
+        help="fused Pallas MLP half-block in every ViT block; auto (default)"
+             " = on when running on a real TPU (+14.1%% recipe throughput,"
+             " BENCH_AUX round 5), off elsewhere",
+    )
+    parser.add_argument(
+        "--use_fused_attn",
+        type=lambda s: None if s.lower() == "auto" else bool_flag(s),
+        default=None,
+        help="fused Pallas attention half-block in every ViT block; auto"
+             " (default) = on when running on a real TPU (+51.8%% recipe"
+             " throughput together with the fused MLP, BENCH_AUX round 5),"
+             " off elsewhere",
+    )
     parser.add_argument("--drop_path_rate", type=float, default=0.1,
                         help="student stochastic depth (dino/main_dino.py:105)")
     parser.add_argument("--fused_attn_pad", type=int, default=16,

@@ -168,12 +168,14 @@ class Block(nn.Module):
     use_flash: bool = False
     # Fused Pallas MLP half-block (LN2→fc1→GELU→fc2→residual in one kernel
     # pair, recompute backward — cerebra.models.pallas_vit_mlp). Identical
-    # param tree; engaged only when drop_path is inactive.
+    # param tree. Under active drop_path the kernel still runs and the
+    # per-sample stochastic-depth mask is re-applied outside it on the
+    # recovered branch (out - x) — one elementwise pass, XLA-fused.
     use_fused_mlp: bool = False
     # Fused Pallas attention half-block (LN1→QKV→MHA→proj→residual in one
     # kernel pair, recompute backward — cerebra.models.pallas_vit_attn).
-    # Identical param tree; engaged only when the attention map is not
-    # needed and drop_path is inactive.
+    # Identical param tree; engaged whenever the attention map is not
+    # needed (drop_path composes outside the kernel, as above).
     use_fused_attn: bool = False
     # Mosaic lowering knobs for the fused kernels (interpret-mode tests
     # cannot see lowering rejections — CLAUDE.md blind spot): the sequence
@@ -188,9 +190,7 @@ class Block(nn.Module):
     def __call__(
         self, x: jax.Array, train: bool = True, return_attention: bool = False
     ):
-        if self.use_fused_attn and not return_attention and (
-            self.drop_path == 0.0 or not train
-        ):
+        if self.use_fused_attn and not return_attention:
             from cerebra.models.pallas_vit_attn import fused_attn_residual
 
             g, b = _LayerNormParams(self.dim, name="norm1")()
@@ -206,10 +206,17 @@ class Block(nn.Module):
                 bproj = bproj * ls1
             # x keeps its stream dtype (f32 residual stream under bf16
             # compute, like the unfused x + Attention(dtype=bf16)(...))
-            x = fused_attn_residual(
+            x_fused = fused_attn_residual(
                 x, g, b, wqkv, bqkv, wproj, bproj, self.num_heads,
                 self.fused_attn_pad, self.dtype,
             )
+            if self.drop_path > 0.0 and train:
+                # the kernel adds the residual internally; recover the branch
+                # and re-apply the per-sample stochastic-depth mask outside
+                # (rng draw order matches the unfused path exactly)
+                x = x + self._drop_path(x_fused - x, train)
+            else:
+                x = x_fused
         else:
             y, attn = Attention(
                 self.dim, self.num_heads, dtype=self.dtype, use_flash=self.use_flash,
@@ -229,7 +236,7 @@ class Block(nn.Module):
                 )
             x = x + self._drop_path(y, train)
         F = int(self.dim * self.mlp_ratio)
-        if self.use_fused_mlp and (self.drop_path == 0.0 or not train):
+        if self.use_fused_mlp:
             from cerebra.models.pallas_vit_mlp import fused_mlp_residual
 
             g, b = _LayerNormParams(self.dim, name="norm2")()
@@ -250,8 +257,10 @@ class Block(nn.Module):
             out = fused_mlp_residual(
                 x.reshape(B * N, D), g, b, w1, b1, w2, b2,
                 self.fused_mlp_tile_m, self.dtype,
-            )
-            return out.reshape(B, N, D)
+            ).reshape(B, N, D)
+            if self.drop_path > 0.0 and train:
+                return x + self._drop_path(out - x, train)
+            return out
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(F, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)  # torch nn.GELU default (exact erf)

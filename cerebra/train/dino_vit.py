@@ -67,9 +67,15 @@ class DinoVitConfig:
     # jax.checkpoint each ViT block (save matmul outputs only).
     remat: bool = False
     # fused Pallas MLP half-block in every ViT block (pallas_vit_mlp).
-    use_fused_mlp: bool = False
+    # None = auto: ON when running on a real TPU (measured +14.1% recipe
+    # throughput, BENCH_AUX round 5), OFF elsewhere (interpret mode is for
+    # parity tests, not speed).
+    use_fused_mlp: Optional[bool] = None
     # fused Pallas attention half-block in every ViT block (pallas_vit_attn).
-    use_fused_attn: bool = False
+    # None = auto: ON on a real TPU (measured +29.3% alone, +51.8% recipe
+    # throughput combined with the fused MLP, BENCH_AUX round 5), OFF
+    # elsewhere.
+    use_fused_attn: Optional[bool] = None
     # Mosaic lowering knobs for the fused kernels (flag-level workaround if
     # the real TPU rejects a partial tile — retry fused_attn_pad=128).
     fused_attn_pad: int = 16
@@ -83,10 +89,13 @@ class DinoVitConfig:
 
 def build_vit(cfg: DinoVitConfig, drop_path_rate: float = 0.0) -> VisionTransformer:
     ctor = {"vit_tiny": vit_tiny, "vit_small": vit_small, "vit_base": vit_base}[cfg.arch]
+    on_tpu = jax.default_backend() == "tpu"
+    fused_mlp = cfg.use_fused_mlp if cfg.use_fused_mlp is not None else on_tpu
+    fused_attn = cfg.use_fused_attn if cfg.use_fused_attn is not None else on_tpu
     return ctor(
         patch_size=cfg.patch_size, img_size=cfg.global_size, dtype=cfg.dtype,
-        use_flash=cfg.use_flash, remat=cfg.remat, use_fused_mlp=cfg.use_fused_mlp,
-        use_fused_attn=cfg.use_fused_attn, drop_path_rate=drop_path_rate,
+        use_flash=cfg.use_flash, remat=cfg.remat, use_fused_mlp=fused_mlp,
+        use_fused_attn=fused_attn, drop_path_rate=drop_path_rate,
         fused_attn_pad=cfg.fused_attn_pad, fused_mlp_tile_m=cfg.fused_mlp_tile_m,
     )
 

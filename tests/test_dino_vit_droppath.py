@@ -102,3 +102,50 @@ def test_main_dino_cli_exposes_reference_drop_path_flag():
         with pytest.raises(SystemExit):
             cli.main(["--help"])
     assert seen.get("default") == 0.1
+
+
+def test_use_fused_kernels_auto_resolve_by_backend():
+    """use_fused_mlp/use_fused_attn=None (the round-5 defaults) mean auto:
+    fused on a real TPU (+51.8% recipe throughput combined, BENCH_AUX round
+    5), XLA elsewhere — hermetic CPU tests and the virtual-device dryrun
+    must stay unfused."""
+    from cerebra.train.dino_vit import DinoVitConfig, build_vit
+
+    auto = build_vit(DinoVitConfig(arch="vit_tiny"))
+    assert auto.use_fused_mlp is False  # conftest pins the cpu backend
+    assert auto.use_fused_attn is False
+    forced = build_vit(
+        DinoVitConfig(arch="vit_tiny", use_fused_mlp=True, use_fused_attn=True)
+    )
+    assert forced.use_fused_mlp is True
+    assert forced.use_fused_attn is True
+
+
+def test_fused_block_composes_drop_path_like_plain():
+    """With drop_path active and train=True the fused half-blocks stay
+    engaged: the kernel output's residual delta (out - x) is re-masked
+    outside the kernel with the SAME per-sample stochastic-depth draw as
+    the plain path (rng order parity), so fused and plain blocks agree
+    under an identical dropout key. Matches dino/vision_transformer.py
+    Block + drop_path (:95-132) semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cerebra.models.vit import Block
+
+    D, H, B, N = 64, 2, 4, 40
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    plain = Block(D, H, drop_path=0.5)
+    fused = Block(D, H, drop_path=0.5, use_fused_mlp=True, use_fused_attn=True)
+    params = plain.init(jax.random.key(0), x, False, False)["params"]
+    key = jax.random.key(3)
+    want = plain.apply({"params": params}, x, True, False, rngs={"dropout": key})
+    got = fused.apply({"params": params}, x, True, False, rngs={"dropout": key})
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # a fresh key must actually drop some samples (mask is live, not a no-op)
+    other = fused.apply(
+        {"params": params}, x, True, False, rngs={"dropout": jax.random.key(4)}
+    )
+    assert float(jnp.abs(other - want).max()) > 1e-3
