@@ -37,7 +37,7 @@ def vit_flops(n_tokens, depth=12, d=384):
     return depth * (12 * n_tokens * d * d + 2 * n_tokens * n_tokens * d) * 2
 
 
-def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, epochs=4, arch="vit_small", patch=8):
+def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, dpr10=0, epochs=4, arch="vit_small", patch=8):
     import jax.numpy as jnp
 
     from cerebra.train.dino_vit import DinoVitConfig, dino_vit_train
@@ -51,10 +51,11 @@ def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, epochs
         batch_size_per_device=batch, warmup_epochs=0, dtype=jnp.bfloat16,
         use_flash=bool(flash), remat=bool(remat), use_fused_mlp=bool(fused_mlp),
         use_fused_attn=bool(fused_attn),
-        # 0.0 keeps continuity with the round-2/3 main_dino numbers and an
-        # apples-to-apples fused-kernel comparison (drop_path blocks keep
-        # the XLA path); the CLI default matches the reference (0.1)
-        drop_path_rate=0.0,
+        # dpr10=0 (drop_path 0.0) keeps continuity with the round-2/3
+        # main_dino numbers; dpr10=1 measures the reference-default 0.1
+        # (since round 5 the fused kernels stay engaged under drop_path —
+        # the mask composes outside the kernel on the residual delta)
+        drop_path_rate=dpr10 / 10.0,
     )
     _, hist = dino_vit_train(eeg, imgs, config=cfg, log_fn=lambda s: None)
     # teacher fwd: 2 globals; student fwd+bwd (×3): 2 globals + 4 locals
@@ -64,7 +65,7 @@ def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, epochs
     gf = (2 * vit_flops(ng, d=d) + 3 * (2 * vit_flops(ng, d=d) + 4 * vit_flops(nl, d=d))) / 1e9
     return _report(
         "main_dino", hist, 4 * batch, gf,
-        f"python -m benchmarks.pipeline_bench main_dino {batch} {int(flash)} {int(remat)} {int(fused_mlp)} {int(fused_attn)}",
+        f"python -m benchmarks.pipeline_bench main_dino {batch} {int(flash)} {int(remat)} {int(fused_mlp)} {int(fused_attn)} {int(dpr10)}",
     )
 
 

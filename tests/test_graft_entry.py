@@ -55,6 +55,8 @@ def test_dryrun_multichip_subprocess_fallback():
     assert "FALLBACK_OK" in proc.stdout
 
 
+@pytest.mark.slow  # 35 s on the 1-vCPU host; the driver exercises the
+# default (4, 2) dryrun every round and the slow sweep covers (8,)/(4, 2)
 def test_dryrun_mesh_shape_2x4():
     """Mesh-shape generality (VERDICT round 3 #8): the full meshed training
     step must hold on a (2 data × 4 model) factorization, not only the

@@ -152,6 +152,8 @@ def test_import_tolerates_lazy_torch_state_and_unfrozen_gain(tmp_path):
     assert int(a2.count) == 2
 
 
+@pytest.mark.slow  # edge-case import (mixed lazy step counts); the core
+# import path runs fast via test_export_import_dino_pth_roundtrips_optimizer
 def test_import_takes_max_step_across_lazy_param_states():
     """torch inits per-param state lazily, so params frozen for part of the
     run carry SMALLER step counters; the single optax count must restore to
@@ -194,6 +196,8 @@ def test_export_import_dino_pth_roundtrips_optimizer(tmp_path):
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(updates))
 
 
+@pytest.mark.slow  # end-to-end resume-through-training (16 s on 1 vCPU);
+# schedule fast-forward + optimizer roundtrip stay in the fast suite
 def test_recipe_resumes_through_training_from_reference_pth(tmp_path):
     """The restart_from_checkpoint contract end-to-end: train → export the
     reference-layout checkpoint → resume a fresh recipe run FROM that .pth
