@@ -885,10 +885,13 @@ EXPS["rcstack"] = exp_rcstack
 
 
 
-def exp_dinoparts(batch=8):
+def exp_dinoparts(batch=8, fused=0):
     """main_dino step decomposition at reference scale (vit_small/p8, 224
     globals + 4x96 locals, out_dim 65536, bf16, B=batch): where the measured
-    ~94 ms/step (84.8 windows/s) actually goes. Each part returns a scalar
+    ~94 ms/step (84.8 windows/s) actually goes. `fused=1` re-runs the same
+    rows under the shipped round-5 fused Pallas half-blocks
+    (`kernel_lab dinoparts 8 1`) to locate the remaining overhead. Each
+    part returns a scalar
     reduction over ALL its outputs so the differenced timing's host sync
     proves completion (tunnel rule: sync must depend on every output)."""
     from cerebra.losses.dino import dino_multicrop_loss
@@ -896,9 +899,12 @@ def exp_dinoparts(batch=8):
     from cerebra.models.multicrop import multicrop_forward
     from cerebra.train.dino_vit import DinoVitConfig, build_vit, make_eeg_image_view_fn
 
-    # pin the unfused XLA baseline: use_fused_mlp defaults to auto (ON on
-    # TPU since round 5) and would otherwise shift these decomposition rows
-    cfg = DinoVitConfig(dtype=jnp.bfloat16, use_fused_mlp=False, use_fused_attn=False)
+    # fused=0 pins the unfused XLA baseline (use_fused_* default to auto —
+    # ON on TPU since round 5 — and would otherwise shift these
+    # decomposition rows vs earlier rounds)
+    cfg = DinoVitConfig(
+        dtype=jnp.bfloat16, use_fused_mlp=bool(fused), use_fused_attn=bool(fused)
+    )
     backbone = build_vit(cfg)
     head = DINOHead(
         in_dim=384, out_dim=cfg.out_dim, use_bn=cfg.use_bn_in_head,
