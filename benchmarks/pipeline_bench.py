@@ -69,7 +69,7 @@ def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, dpr10=
     )
 
 
-def bench_barlow(batch=16, epochs=4):
+def bench_barlow(batch=16, remat=0, epochs=4):
     import jax.numpy as jnp
 
     from cerebra.train.barlow_recipe import BarlowConfig, barlow_train
@@ -81,14 +81,16 @@ def bench_barlow(batch=16, epochs=4):
     cfg = BarlowConfig(
         epochs=epochs, batch_size=batch, projector=(8192, 8192, 8192),
         n_mels=224, image_size=224, warmup_epochs=0, dtype=jnp.bfloat16,
+        remat=bool(remat),
     )
     _, hist = barlow_train(imgs, eeg, config=cfg, log_fn=lambda s: None)
     # 2 ResNet-50 towers (~4.1 GF fwd @224) + 8192³ projector (~0.3 GF fwd),
-    # fwd+bwd ≈ ×3
+    # fwd+bwd ≈ ×3 (remat re-forwards the towers: ≈ ×4 — reported at the
+    # nominal ×3 so w/s stays the comparable metric)
     gf = 3 * (2 * 4.1 + 2 * 0.3)
     return _report(
         "barlow", hist, 4 * batch, gf,
-        f"python -m benchmarks.pipeline_bench barlow {batch}",
+        f"python -m benchmarks.pipeline_bench barlow {batch} {int(remat)}",
     )
 
 

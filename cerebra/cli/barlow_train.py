@@ -38,6 +38,13 @@ def main(argv=None):
     parser.add_argument("--n_mels", type=int, default=224)
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--epochs", type=int, default=10)
+    from cerebra.utils.config import bool_flag
+
+    parser.add_argument(
+        "--remat", type=bool_flag, default=False,
+        help="per-block remat in both ResNet towers — memory lever that "
+        "lifts the per-chip batch ceiling (B=512 OOMs on 16 GB without it)",
+    )
     parser.add_argument(
         "--pretrained_backbone", type=str, default="",
         help="local torchvision resnet50 .pth to init both towers "
@@ -68,6 +75,7 @@ def main(argv=None):
         image_size=FLAGS.image_size,
         seed=FLAGS.seed,
         pretrained_backbone=FLAGS.pretrained_backbone,
+        remat=FLAGS.remat,
     )
 
     from cerebra.cli.common import is_main_process

@@ -39,19 +39,27 @@ class BarlowTwins(nn.Module):
     projector_sizes: Sequence[int] = (8192, 8192, 8192)
     eeg_in_channels: int = 96
     dtype: Optional[Any] = None
+    # per-block rematerialization in both ResNet towers: trades one extra
+    # forward for ~5x activation memory, lifting the per-chip batch ceiling
+    # (B=512 OOMs on 16 GB HBM without it)
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, y1: jax.Array, y2: jax.Array, train: bool = True
     ) -> Tuple[jax.Array, jax.Array]:
-        f1 = resnet50(dtype=self.dtype, zero_init_residual=True, )(y1, train=train)
+        f1 = resnet50(dtype=self.dtype, zero_init_residual=True, remat=self.remat)(
+            y1, train=train
+        )
         # EEG branch: 1×1 conv maps 96 spectrogram channels → 3 "RGB" planes
         # (net.py:17-19; padding=1 on a 1×1 conv as in the reference)
         y2 = nn.Conv(
             3, (1, 1), padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
             name="eeg_stem",
         )(y2)
-        f2 = resnet50(dtype=self.dtype, zero_init_residual=True)(y2, train=train)
+        f2 = resnet50(dtype=self.dtype, zero_init_residual=True, remat=self.remat)(
+            y2, train=train
+        )
         proj = Projector(tuple(self.projector_sizes), dtype=self.dtype, name="projector")
         return proj(f1, train=train), proj(f2, train=train)
 

@@ -59,6 +59,9 @@ class ResNet(nn.Module):
     zero_init_residual: bool = False
     dtype: Optional[Any] = None
     width: int = 64  # stem width (torchvision inplanes); 64 for resnet50
+    remat: bool = False  # per-block rematerialization: backward keeps only
+    # block-boundary activations and recomputes block internals (~5 conv/BN
+    # tensors per block), trading one extra forward for ~5x activation memory
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -67,20 +70,33 @@ class ResNet(nn.Module):
         y = nn.Conv(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(norm()(y))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        block_cls = BottleneckBlock
+        if self.remat:
+            # same lifted-remat idiom as models/vit.py: train is static
+            # (counting self=0); BN batch_stats mutations are threaded by
+            # the lifted transform
+            block_cls = nn.remat(BottleneckBlock, static_argnums=(2,))
+        k = 0
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
-                y = BottleneckBlock(
-                    self.width * 2**i, strides, self.zero_init_residual, dtype=self.dtype
-                )(y, train=train)
+                # name pinned to the plain path's auto-name so remat=True
+                # shares variable trees/checkpoints with remat=False (the
+                # wrapper would otherwise auto-name CheckpointBottleneckBlock_k)
+                y = block_cls(
+                    self.width * 2**i, strides, self.zero_init_residual,
+                    dtype=self.dtype, name=f"BottleneckBlock_{k}",
+                )(y, train)
+                k += 1
         y = jnp.mean(y, axis=(1, 2))  # global average pool → (B, 2048)
         if self.num_classes:
             y = nn.Dense(self.num_classes, dtype=self.dtype)(y)
         return y
 
 
-def resnet50(num_classes: int = 0, zero_init_residual: bool = False, dtype=None) -> ResNet:
-    return ResNet((3, 4, 6, 3), num_classes, zero_init_residual, dtype)
+def resnet50(num_classes: int = 0, zero_init_residual: bool = False, dtype=None,
+             remat: bool = False) -> ResNet:
+    return ResNet((3, 4, 6, 3), num_classes, zero_init_residual, dtype, remat=remat)
 
 
 def _np(t):

@@ -48,6 +48,9 @@ class BarlowConfig:
     # optional local torchvision resnet50 checkpoint for both towers
     # (extension — the reference towers are random-init, net.py:15-19)
     pretrained_backbone: str = ""
+    # per-block remat in both ResNet towers (memory lever for large per-chip
+    # batches; B=512 needs it on 16 GB HBM)
+    remat: bool = False
 
 
 def barlow_train(
@@ -86,7 +89,7 @@ def barlow_train(
     y1_all = jnp.asarray(images, dtype=jnp.float32)
 
     model = BarlowTwins(projector_sizes=cfg.projector, eeg_in_channels=eeg.shape[-1],
-                        dtype=cfg.dtype)
+                        dtype=cfg.dtype, remat=cfg.remat)
     variables = model.init(
         jax.random.key(cfg.seed), y1_all[:1], y2_all[:1], train=False
     )

@@ -159,3 +159,42 @@ def test_init_feature_regressor_grafts_pretrained(tmp_path):
     assert "ResNet_0" in variables["batch_stats"]
     out = model.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
     assert out.shape == (2, 16)
+
+
+@pytest.mark.slow  # off-by-default memory lever; double tiny-ResNet grad compile ~40 s
+def test_resnet_remat_matches_plain():
+    """remat=True (per-block jax.checkpoint in the Barlow towers) must be a
+    pure memory/scheduling change: forward values, BN batch_stats updates,
+    AND grads match the plain path, on the SAME variable tree (block names
+    are pinned so remat/plain checkpoints interoperate)."""
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(2, 32, 32, 3)), jnp.float32)
+    kw = dict(stage_sizes=(1, 1), width=16)
+    plain = ResNet(**kw)
+    remat = ResNet(**kw, remat=True)
+    vars_ = plain.init(jax.random.key(0), x, train=False)
+    assert set(vars_["params"]) == {
+        "Conv_0", "BatchNorm_0", "BottleneckBlock_0", "BottleneckBlock_1"
+    }
+
+    out_p, st_p = plain.apply(vars_, x, train=True, mutable=["batch_stats"])
+    out_r, st_r = remat.apply(vars_, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=1e-6, rtol=1e-6)
+    from jax.flatten_util import ravel_pytree
+
+    fp, _ = ravel_pytree(st_p)
+    fr, _ = ravel_pytree(st_r)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fr), atol=1e-6, rtol=1e-6)
+
+    def loss(m):
+        def f(params):
+            out, _ = m.apply(
+                {**vars_, "params": params}, x, train=True, mutable=["batch_stats"]
+            )
+            return jnp.sum(out**2)
+
+        return f
+
+    gp, _ = ravel_pytree(jax.grad(loss(plain))(vars_["params"]))
+    gr, _ = ravel_pytree(jax.grad(loss(remat))(vars_["params"]))
+    rel = float(jnp.linalg.norm(gp - gr) / jnp.linalg.norm(gp))
+    assert rel < 1e-6, rel
