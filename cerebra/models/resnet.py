@@ -59,9 +59,11 @@ class ResNet(nn.Module):
     zero_init_residual: bool = False
     dtype: Optional[Any] = None
     width: int = 64  # stem width (torchvision inplanes); 64 for resnet50
-    remat: bool = False  # per-block rematerialization: backward keeps only
-    # block-boundary activations and recomputes block internals (~5 conv/BN
-    # tensors per block), trading one extra forward for ~5x activation memory
+    remat: bool = False  # nested rematerialization: the backward keeps only
+    # the 4 stage-boundary activations (jax.checkpoint per stage) and, inside
+    # a stage's recompute, only block boundaries (nested checkpoint per
+    # block). Per-block alone was measured insufficient at Barlow B=512 on
+    # 16 GB HBM: the 16 block boundaries of 2 towers are themselves ~10 GB.
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -78,16 +80,27 @@ class ResNet(nn.Module):
             block_cls = nn.remat(BottleneckBlock, static_argnums=(2,))
         k = 0
         for i, n_blocks in enumerate(self.stage_sizes):
-            for j in range(n_blocks):
-                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
-                # name pinned to the plain path's auto-name so remat=True
-                # shares variable trees/checkpoints with remat=False (the
-                # wrapper would otherwise auto-name CheckpointBottleneckBlock_k)
-                y = block_cls(
-                    self.width * 2**i, strides, self.zero_init_residual,
-                    dtype=self.dtype, name=f"BottleneckBlock_{k}",
-                )(y, train)
-                k += 1
+            def stage(mdl, y, train, i=i, n_blocks=n_blocks, k0=k):
+                kk = k0
+                for j in range(n_blocks):
+                    strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                    # name pinned to the plain path's auto-name (and parented
+                    # to the ResNet scope, not a Stage submodule) so
+                    # remat=True shares variable trees/checkpoints with
+                    # remat=False and with the torchvision importer
+                    y = block_cls(
+                        self.width * 2**i, strides, self.zero_init_residual,
+                        dtype=self.dtype, name=f"BottleneckBlock_{kk}",
+                        parent=mdl,
+                    )(y, train)
+                    kk += 1
+                return y
+
+            if self.remat:
+                y = nn.remat(stage, static_argnums=(2,))(self, y, train)
+            else:
+                y = stage(self, y, train)
+            k += n_blocks
         y = jnp.mean(y, axis=(1, 2))  # global average pool → (B, 2048)
         if self.num_classes:
             y = nn.Dense(self.num_classes, dtype=self.dtype)(y)

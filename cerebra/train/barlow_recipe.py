@@ -86,6 +86,10 @@ def barlow_train(
     eeg_ct = jnp.swapaxes(jnp.asarray(eeg, dtype=jnp.float32), 1, 2)  # (N, C, T)
     mels = melspectrogram(eeg_ct, sr=sample_rate, n_mels=cfg.n_mels)  # (N, C, M, F)
     y2_all = jnp.transpose(mels, (0, 2, 3, 1))  # NHWC with C spectro channels
+    # free the spectrogram intermediates NOW (~1.3 GB at corpus scale) —
+    # as live locals they would otherwise hold HBM for the whole run, and
+    # B=512 needs the headroom (the compiled epoch itself is ~11.8 GB)
+    del eeg_ct, mels
     y1_all = jnp.asarray(images, dtype=jnp.float32)
 
     model = BarlowTwins(projector_sizes=cfg.projector, eeg_in_channels=eeg.shape[-1],
