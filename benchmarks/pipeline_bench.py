@@ -37,7 +37,7 @@ def vit_flops(n_tokens, depth=12, d=384):
     return depth * (12 * n_tokens * d * d + 2 * n_tokens * n_tokens * d) * 2
 
 
-def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, dpr10=0, epochs=4, arch="vit_small", patch=8):
+def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, dpr10=0, fused_min_seq=0, epochs=4, arch="vit_small", patch=8):
     import jax.numpy as jnp
 
     from cerebra.train.dino_vit import DinoVitConfig, dino_vit_train
@@ -56,6 +56,7 @@ def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, dpr10=
         # (since round 5 the fused kernels stay engaged under drop_path —
         # the mask composes outside the kernel on the residual delta)
         drop_path_rate=dpr10 / 10.0,
+        fused_min_seq=fused_min_seq,
     )
     _, hist = dino_vit_train(eeg, imgs, config=cfg, log_fn=lambda s: None)
     # teacher fwd: 2 globals; student fwd+bwd (×3): 2 globals + 4 locals
@@ -65,7 +66,7 @@ def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, dpr10=
     gf = (2 * vit_flops(ng, d=d) + 3 * (2 * vit_flops(ng, d=d) + 4 * vit_flops(nl, d=d))) / 1e9
     return _report(
         "main_dino", hist, 4 * batch, gf,
-        f"python -m benchmarks.pipeline_bench main_dino {batch} {int(flash)} {int(remat)} {int(fused_mlp)} {int(fused_attn)} {int(dpr10)}",
+        f"python -m benchmarks.pipeline_bench main_dino {batch} {int(flash)} {int(remat)} {int(fused_mlp)} {int(fused_attn)} {int(dpr10)} {int(fused_min_seq)}",
     )
 
 

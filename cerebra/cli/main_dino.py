@@ -75,6 +75,10 @@ def main(argv=None):
                              "(retry 128 if the TPU rejects a partial tile)")
     parser.add_argument("--fused_mlp_tile_m", type=int, default=256,
                         help="token-tile height for --use_fused_mlp")
+    parser.add_argument("--fused_min_seq", type=int, default=0,
+                        help="engage the fused kernels only for view groups "
+                             "with token count >= this (0 = always; locals "
+                             "at N=145 measured flat-to-worse fused)")
     FLAGS, _ = parser.parse_known_args(argv)
     print(FLAGS)
     init_distributed()
@@ -98,6 +102,7 @@ def main(argv=None):
         use_fused_mlp=FLAGS.use_fused_mlp, use_fused_attn=FLAGS.use_fused_attn,
         drop_path_rate=FLAGS.drop_path_rate,
         fused_attn_pad=FLAGS.fused_attn_pad, fused_mlp_tile_m=FLAGS.fused_mlp_tile_m,
+        fused_min_seq=FLAGS.fused_min_seq,
     )
     # stimulus images: not bundled — locals fall back to EEG-image crops
     state, hist = dino_vit_train(

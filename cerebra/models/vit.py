@@ -185,12 +185,20 @@ class Block(nn.Module):
     # without a code change.
     fused_attn_pad: int = 16
     fused_mlp_tile_m: int = 256
+    # engage the fused kernels only when the token count N is at least this
+    # (0 = always). The dinoparts step decomposition measured the fused
+    # half-blocks flat-to-slightly-worse at the 4×96 local-crop shape
+    # (N=145) while winning big at N=785 — gate locals back onto XLA. Both
+    # branches declare the identical param tree, so view groups on either
+    # side of the gate share one set of variables.
+    fused_min_seq: int = 0
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = True, return_attention: bool = False
     ):
-        if self.use_fused_attn and not return_attention:
+        seq_gate = x.shape[1] >= self.fused_min_seq
+        if self.use_fused_attn and seq_gate and not return_attention:
             from cerebra.models.pallas_vit_attn import fused_attn_residual
 
             g, b = _LayerNormParams(self.dim, name="norm1")()
@@ -236,7 +244,7 @@ class Block(nn.Module):
                 )
             x = x + self._drop_path(y, train)
         F = int(self.dim * self.mlp_ratio)
-        if self.use_fused_mlp:
+        if self.use_fused_mlp and seq_gate:
             from cerebra.models.pallas_vit_mlp import fused_mlp_residual
 
             g, b = _LayerNormParams(self.dim, name="norm2")()
@@ -295,6 +303,7 @@ class VisionTransformer(nn.Module):
     use_fused_attn: bool = False  # fused Pallas attention half-block (pallas_vit_attn)
     fused_attn_pad: int = 16  # Mosaic seq-pad multiple for the fused attention
     fused_mlp_tile_m: int = 256  # token-tile height for the fused MLP
+    fused_min_seq: int = 0  # fused kernels only at token count >= this (0 = always)
     # jax.checkpoint each block (save only matmul outputs): trades GELU/LN/
     # softmax recompute for the backward's saved-activation HBM streams.
     remat: bool = False
@@ -346,6 +355,7 @@ class VisionTransformer(nn.Module):
                 use_fused_attn=self.use_fused_attn,
                 fused_attn_pad=self.fused_attn_pad,
                 fused_mlp_tile_m=self.fused_mlp_tile_m,
+                fused_min_seq=self.fused_min_seq,
                 name=f"block_{i}",
             )
             if return_attention_of_last_block and i == self.depth - 1:

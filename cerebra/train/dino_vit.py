@@ -80,6 +80,9 @@ class DinoVitConfig:
     # the real TPU rejects a partial tile — retry fused_attn_pad=128).
     fused_attn_pad: int = 16
     fused_mlp_tile_m: int = 256
+    # fused kernels only at token count >= this; the dinoparts decomposition
+    # measured the 4×96 local views (N=145) flat-to-worse fused
+    fused_min_seq: int = 0
     # student stochastic depth (dino/main_dino.py:105 default 0.1; the
     # teacher is built WITHOUT drop path, :183-190). Blocks with an active
     # drop_path keep the XLA path during training (the fused kernels add
@@ -97,6 +100,7 @@ def build_vit(cfg: DinoVitConfig, drop_path_rate: float = 0.0) -> VisionTransfor
         use_flash=cfg.use_flash, remat=cfg.remat, use_fused_mlp=fused_mlp,
         use_fused_attn=fused_attn, drop_path_rate=drop_path_rate,
         fused_attn_pad=cfg.fused_attn_pad, fused_mlp_tile_m=cfg.fused_mlp_tile_m,
+        fused_min_seq=cfg.fused_min_seq,
     )
 
 

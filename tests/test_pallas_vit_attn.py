@@ -161,3 +161,27 @@ def test_block_fused_attn_keeps_f32_residual_stream_under_bf16(rng):
     assert got.dtype == want.dtype == jnp.float32
     scale = float(jnp.abs(want).max())
     assert float(jnp.abs(got - want).max()) < 0.02 * scale
+
+
+def test_block_fused_min_seq_gates_by_token_count(rng):
+    """fused_min_seq keeps short sequences on the plain XLA path and long
+    ones on the fused kernels, with BOTH paths sharing one variable tree —
+    values match the all-plain block at every length. (The dinoparts
+    decomposition measured N=145 local views flat-to-worse fused; the gate
+    is the recipe-level fix.)"""
+    from cerebra.models.vit import Block
+
+    D, H, B = 64, 2, 2
+    plain = Block(D, H)
+    gated = Block(
+        D, H, use_fused_attn=True, use_fused_mlp=True, fused_min_seq=16
+    )
+    x_init = jnp.asarray(rng.normal(size=(B, 8, D)), jnp.float32)
+    params = plain.init(jax.random.key(0), x_init, False, False)["params"]
+    # short view (below the gate, pure XLA) — init'd from the SHORT shape,
+    # long view (above the gate, fused kernels) applied on the same tree
+    for N in (8, 24):
+        x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+        want = plain.apply({"params": params}, x, False, False)
+        got = gated.apply({"params": params}, x, False, False)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
