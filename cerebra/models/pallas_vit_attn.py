@@ -78,8 +78,9 @@ def _softmax_masked(s, n_real):
 
 
 def _fwd_kernel(
-    x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-    wp_ref, bp_ref, out_ref, *, n_real: int, n_heads: int, cdt,
+    x_ref, s_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+    bv_ref, wp_ref, bp_ref, out_ref, *, n_real: int, n_heads: int, cdt,
+    scaled: bool,
 ):
     x, _, y = _ln_affine(x_ref, g_ref, b_ref, cdt)
     dt = cdt
@@ -93,14 +94,21 @@ def _fwd_kernel(
         o = _matmul(p, v).astype(dt)
         contrib = _matmul(o, wp_ref[h])
         out = contrib if out is None else out + contrib
-    out_ref[...] = (x + out + acc).astype(out_ref.dtype)
+    out = out + acc
+    if scaled:
+        # per-sequence branch scale (stochastic depth): out = x + s·branch,
+        # the mask/keep factor applied INSIDE the kernel (as a per-row
+        # vector — lane-broadcast, the Mosaic-supported pattern)
+        out = out * s_ref[...][:, :1].astype(jnp.float32)
+    out_ref[...] = (x + out).astype(out_ref.dtype)
 
 
 def _bwd_kernel(
-    x_ref, dout_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
-    bv_ref, wp_ref,
+    x_ref, dout_ref, s_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, bq_ref,
+    bk_ref, bv_ref, wp_ref,
     dx_ref, dg_ref, db_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref,
     dbv_ref, dwp_ref, dbp_ref, *, n_real: int, n_heads: int, cdt,
+    scaled: bool,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -112,7 +120,12 @@ def _bwd_kernel(
 
     x, xn, y = _ln_affine(x_ref, g_ref, b_ref, cdt)
     dt = cdt
-    dout = dout_ref[...].astype(jnp.float32)
+    dout_raw = dout_ref[...].astype(jnp.float32)
+    # the branch cotangent picks up the per-sequence scale; the residual
+    # passthrough (dx = dout + …) does NOT
+    dout = (
+        dout_raw * s_ref[...][:, :1].astype(jnp.float32) if scaled else dout_raw
+    )
     dout_n = dout.astype(dt)
     dbp_ref[...] += jnp.sum(dout, axis=0, keepdims=True)
 
@@ -160,7 +173,7 @@ def _bwd_kernel(
     xc = x - mu
     rstd = jax.lax.rsqrt(jnp.mean(xc * xc, axis=1, keepdims=True) + _LN_EPS)
     dx_ln = rstd * (dxn - m1 - xn * m2)
-    dx_ref[...] = (dout + dx_ln).astype(dx_ref.dtype)
+    dx_ref[...] = (dout_raw + dx_ln).astype(dx_ref.dtype)
 
 
 def _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, dtype):
@@ -204,9 +217,8 @@ def _seq_spec(width, np_):
     return pl.BlockSpec((np_, width), lambda i: (i, 0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_attn_residual(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad=16,
-                        compute_dtype=None):
+                        compute_dtype=None, scale=None):
     """x + proj(MHA(layernorm(x)·g + b)) over (B, N, D) sequences.
 
     Params keep their caller dtype (typically f32 flax params); every MXU
@@ -214,23 +226,61 @@ def fused_attn_residual(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad=16,
     Dense(dtype=...), while the residual STREAM (x in, out, dx) keeps
     x.dtype — an f32 token stream through bf16 blocks stays f32, exactly
     like the unfused Block. ``pad`` is the sequence-padding granularity
-    (block sublane multiple)."""
-    out, _ = _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad,
-                  compute_dtype)
+    (block sublane multiple).
+
+    ``scale`` (optional, (B,) f32): per-sequence residual-branch multiplier
+    — out = x + scale·branch. Used for stochastic depth (mask/keep applied
+    INSIDE the kernel). Treated as a constant: no cotangent flows to it."""
+    if scale is None:
+        s2 = jnp.ones((1,), jnp.float32)  # placeholder, unused
+        return _attn_core(x, s2, g, b, wqkv, bqkv, wproj, bproj, num_heads,
+                          pad, compute_dtype, False)
+    s2 = jax.lax.stop_gradient(scale).reshape(x.shape[0]).astype(jnp.float32)
+    return _attn_core(x, s2, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad,
+                      compute_dtype, True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _attn_core(x, s2, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad,
+               compute_dtype, scaled):
+    out, _ = _fwd(x, s2, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad,
+                  compute_dtype, scaled)
     return out
 
 
-def _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad, compute_dtype):
+def _scale_rows(s2, B, np_, scaled):
+    """Expand the (B,) scale to per-row (B·Np, 128) tiles. Mosaic lowers a
+    (rows, 1)→(rows, lanes) lane-broadcast (the softmax-keepdims pattern)
+    but NOT a (1, 1)→full-tile broadcast, so the scale rides as a row
+    vector even though it is constant within a sequence."""
+    if not scaled:
+        return jnp.ones((1, 128), jnp.float32)
+    return jnp.broadcast_to(
+        s2.reshape(B, 1, 1), (B, np_, 128)
+    ).reshape(B * np_, 128)
+
+
+def _batch_scale_spec(np_: int, scaled: bool):
+    if not scaled:
+        return pl.BlockSpec((1, 128), lambda i: (0, 0))
+    return pl.BlockSpec((np_, 128), lambda i: (i, 0))
+
+
+def _fwd(x, s2, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad, compute_dtype,
+         scaled):
     B, N, D = x.shape
     dh = D // num_heads
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     xp, np_ = _pad_seq(x, pad)
+    sp = _scale_rows(s2, B, np_, scaled)
     prepped = _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, cdt)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_real=N, n_heads=num_heads, cdt=cdt),
+        functools.partial(_fwd_kernel, n_real=N, n_heads=num_heads, cdt=cdt,
+                          scaled=scaled),
         grid=(B,),
         in_specs=[
-            _seq_spec(D, np_), _whole_spec((1, D)), _whole_spec((1, D)),
+            _seq_spec(D, np_), _batch_scale_spec(np_, scaled),
+            _whole_spec((1, D)), _whole_spec((1, D)),
             _whole_spec((num_heads, D, dh)), _whole_spec((num_heads, D, dh)),
             _whole_spec((num_heads, D, dh)),
             _whole_spec((num_heads, 1, dh)), _whole_spec((num_heads, 1, dh)),
@@ -241,26 +291,29 @@ def _fwd(x, g, b, wqkv, bqkv, wproj, bproj, num_heads, pad, compute_dtype):
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         interpret=_interpret(),
         compiler_params=_vmem_params(64),
-    )(xp, *prepped)
+    )(xp, sp, *prepped)
     out = out.reshape(B, np_, D)[:, :N]
-    return out, (x, g, b, wqkv, bqkv, wproj, bproj)
+    return out, (x, s2, g, b, wqkv, bqkv, wproj, bproj)
 
 
-def _bwd(num_heads, pad, compute_dtype, res, dout):
-    x, g, b, wqkv, bqkv, wproj, bproj = res
+def _bwd(num_heads, pad, compute_dtype, scaled, res, dout):
+    x, s2, g, b, wqkv, bqkv, wproj, bproj = res
     B, N, D = x.shape
     dh = D // num_heads
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     scale = dh ** -0.5
     xp, np_ = _pad_seq(x, pad)
+    sp = _scale_rows(s2, B, np_, scaled)
     dp_, _ = _pad_seq(dout.astype(x.dtype), pad)
     prepped = _split_params(g, b, wqkv, bqkv, wproj, bproj, num_heads, cdt)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_real=N, n_heads=num_heads, cdt=cdt),
+        functools.partial(_bwd_kernel, n_real=N, n_heads=num_heads, cdt=cdt,
+                          scaled=scaled),
         grid=(B,),
         in_specs=[
             _seq_spec(D, np_), _seq_spec(D, np_),
+            _batch_scale_spec(np_, scaled),
             _whole_spec((1, D)), _whole_spec((1, D)),
             _whole_spec((num_heads, D, dh)), _whole_spec((num_heads, D, dh)),
             _whole_spec((num_heads, D, dh)),
@@ -291,7 +344,7 @@ def _bwd(num_heads, pad, compute_dtype, res, dout):
         ],
         interpret=_interpret(),
         compiler_params=_vmem_params(64),
-    )(xp, dp_, *prepped[:-1])
+    )(xp, dp_, sp, *prepped[:-1])
     dx, dg, db, dwq, dwk, dwv, dbq, dbk, dbv, dwp, dbp = outs
 
     # reassemble (H, D, dh) stacks into the caller's (D, 3D) qkv layout;
@@ -308,10 +361,11 @@ def _bwd(num_heads, pad, compute_dtype, res, dout):
     )
     return (
         dx.reshape(B, np_, D)[:, :N].astype(x.dtype),
+        jnp.zeros_like(s2),  # scale is a constant (stop_gradient'd mask)
         dg.reshape(g.shape).astype(g.dtype), db.reshape(b.shape).astype(b.dtype),
         dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
         dwp.reshape(D, D).astype(wproj.dtype), dbp.reshape(bproj.shape).astype(bproj.dtype),
     )
 
 
-fused_attn_residual.defvjp(_fwd, _bwd)
+_attn_core.defvjp(_fwd, _bwd)

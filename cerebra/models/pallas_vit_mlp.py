@@ -115,8 +115,8 @@ def _matmul_bt(a, b):
     )
 
 
-def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
-                *, cdt):
+def _fwd_kernel(x_ref, s_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, *, cdt, scaled):
     x = x_ref[...].astype(jnp.float32)
     xn = _layernorm_f32(x)
     y1 = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
@@ -124,12 +124,18 @@ def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     h = _matmul(y1, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
     gh = _gelu_exact(h).astype(cdt)
     out = _matmul(gh, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
+    if scaled:
+        # per-row branch scale (stochastic depth): out = x + s·branch,
+        # with the mask/keep scale applied INSIDE the kernel instead of a
+        # separate delta-recompute elementwise pass outside
+        out = out * s_ref[...][:, :1].astype(jnp.float32)
     out_ref[...] = (x + out).astype(out_ref.dtype)
 
 
 def _bwd_kernel(
-    x_ref, dout_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+    x_ref, dout_ref, s_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
     dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, cdt,
+    scaled,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -137,7 +143,12 @@ def _bwd_kernel(
             r[...] = jnp.zeros_like(r)
 
     x = x_ref[...].astype(jnp.float32)
-    dout = dout_ref[...].astype(jnp.float32)
+    dout_raw = dout_ref[...].astype(jnp.float32)
+    # the branch cotangent picks up the per-row scale; the residual
+    # passthrough (dx = dout + …) does NOT
+    dout = (
+        dout_raw * s_ref[...][:, :1].astype(jnp.float32) if scaled else dout_raw
+    )
     g = g_ref[...].astype(jnp.float32)
 
     # recompute the forward intermediates in VMEM
@@ -170,7 +181,7 @@ def _bwd_kernel(
     xc = x - mu
     rstd = jax.lax.rsqrt(jnp.mean(xc * xc, axis=1, keepdims=True) + _LN_EPS)
     dx_ln = rstd * (dxn - m1 - xn * m2)
-    dx_ref[...] = (dout + dx_ln).astype(dx_ref.dtype)
+    dx_ref[...] = (dout_raw + dx_ln).astype(dx_ref.dtype)
 
 
 def _row_spec(width: int, tile: int):
@@ -195,55 +206,89 @@ def _prep(params, dtype):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def fused_mlp_residual(x, g, b, w1, b1, w2, b2, tile_m: int = 256,
-                       compute_dtype=None):
+                       compute_dtype=None, scale=None):
     """x + fc2(gelu_exact(fc1(layernorm(x)·g + b))) over rows of x (M, D).
 
     Params keep their caller dtype (typically f32 flax params); the MXU
     matmuls run in ``compute_dtype`` (default x.dtype) like flax
     Dense(dtype=...), while the residual STREAM (x in, out, dx) keeps
     x.dtype — so an f32 token stream through bf16 blocks stays f32, exactly
-    like the unfused Block (x + Dense(dtype=bf16)(...) promotes to f32)."""
-    out, _ = _fwd(x, g, b, w1, b1, w2, b2, tile_m, compute_dtype)
+    like the unfused Block (x + Dense(dtype=bf16)(...) promotes to f32).
+
+    ``scale`` (optional, (M,) f32): per-row residual-branch multiplier —
+    out = x + scale·branch. Used for stochastic depth (the per-sample
+    mask/keep factor applied INSIDE the kernel instead of recovering the
+    branch outside with extra elementwise passes). Treated as a constant:
+    no cotangent flows to it."""
+    M = x.shape[0]
+    if scale is None:
+        s2 = jnp.ones((1, 128), jnp.float32)  # placeholder block, unused
+        return _mlp_core(x, s2, g, b, w1, b1, w2, b2, tile_m, compute_dtype,
+                         False)
+    s2 = jnp.broadcast_to(
+        jax.lax.stop_gradient(scale).reshape(M, 1).astype(jnp.float32),
+        (M, 128),
+    )
+    return _mlp_core(x, s2, g, b, w1, b1, w2, b2, tile_m, compute_dtype, True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _mlp_core(x, s2, g, b, w1, b1, w2, b2, tile_m, compute_dtype, scaled):
+    out, _ = _fwd(x, s2, g, b, w1, b1, w2, b2, tile_m, compute_dtype, scaled)
     return out
 
 
-def _fwd(x, g, b, w1, b1, w2, b2, tile_m, compute_dtype):
+def _pad_scale(s2, tile_m, scaled, n_rows):
+    if not scaled:
+        return jnp.ones((tile_m, 128), jnp.float32)
+    return _pad_rows(s2, tile_m)
+
+
+def _scale_spec(tile: int, scaled: bool):
+    # unscaled: one shared all-ones block; scaled: per-row-tile blocks
+    return pl.BlockSpec((tile, 128), (lambda i: (0, 0)) if not scaled else (lambda i: (i, 0)))
+
+
+def _fwd(x, s2, g, b, w1, b1, w2, b2, tile_m, compute_dtype, scaled):
     M, D = x.shape
     F = w1.shape[1]
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     xp = _pad_rows(x, tile_m)
+    sp = _pad_scale(s2, tile_m, scaled, xp.shape[0])
     grid = (xp.shape[0] // tile_m,)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cdt=cdt),
+        functools.partial(_fwd_kernel, cdt=cdt, scaled=scaled),
         grid=grid,
         in_specs=[
-            _row_spec(D, tile_m), _whole_spec((1, D)), _whole_spec((1, D)),
+            _row_spec(D, tile_m), _scale_spec(tile_m, scaled),
+            _whole_spec((1, D)), _whole_spec((1, D)),
             _whole_spec((D, F)), _whole_spec((1, F)),
             _whole_spec((F, D)), _whole_spec((1, D)),
         ],
         out_specs=_row_spec(D, tile_m),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         interpret=_interpret(),
-    )(xp, *_prep((g, b, w1, b1, w2, b2), cdt))
-    return out[:M], (x, g, b, w1, b1, w2, b2)
+    )(xp, sp, *_prep((g, b, w1, b1, w2, b2), cdt))
+    return out[:M], (x, s2, g, b, w1, b1, w2, b2)
 
 
-def _bwd(tile_m, compute_dtype, res, dout):
-    x, g, b, w1, b1, w2, b2 = res
+def _bwd(tile_m, compute_dtype, scaled, res, dout):
+    x, s2, g, b, w1, b1, w2, b2 = res
     M, D = x.shape
     F = w1.shape[1]
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     xp = _pad_rows(x, tile_m)
+    sp = _pad_scale(s2, tile_m, scaled, xp.shape[0])
     dp = _pad_rows(dout.astype(x.dtype), tile_m)
     grid = (xp.shape[0] // tile_m,)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, cdt=cdt),
+        functools.partial(_bwd_kernel, cdt=cdt, scaled=scaled),
         grid=grid,
         in_specs=[
             _row_spec(D, tile_m), _row_spec(D, tile_m),
+            _scale_spec(tile_m, scaled),
             _whole_spec((1, D)), _whole_spec((1, D)),
             _whole_spec((D, F)), _whole_spec((1, F)), _whole_spec((F, D)),
         ],
@@ -260,14 +305,15 @@ def _bwd(tile_m, compute_dtype, res, dout):
             jax.ShapeDtypeStruct((F, D), f32), jax.ShapeDtypeStruct((1, D), f32),
         ],
         interpret=_interpret(),
-    )(xp, dp, *_prep((g, b, w1, b1, w2, b2), cdt)[:5])
+    )(xp, dp, sp, *_prep((g, b, w1, b1, w2, b2), cdt)[:5])
     dx, dg, db, dw1, db1, dw2, db2 = outs
     return (
         dx[:M].astype(x.dtype),
+        jnp.zeros_like(s2),  # scale is a constant (stop_gradient'd mask)
         dg.reshape(g.shape).astype(g.dtype), db.reshape(b.shape).astype(b.dtype),
         dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
         dw2.astype(w2.dtype), db2.reshape(b2.shape).astype(b2.dtype),
     )
 
 
-fused_mlp_residual.defvjp(_fwd, _bwd)
+_mlp_core.defvjp(_fwd, _bwd)

@@ -213,18 +213,14 @@ class Block(nn.Module):
                 wproj = wproj * ls1[None, :]
                 bproj = bproj * ls1
             # x keeps its stream dtype (f32 residual stream under bf16
-            # compute, like the unfused x + Attention(dtype=bf16)(...))
-            x_fused = fused_attn_residual(
+            # compute, like the unfused x + Attention(dtype=bf16)(...));
+            # stochastic depth rides INSIDE the kernel as the per-sample
+            # branch scale (rng draw order matches the unfused path exactly)
+            x = fused_attn_residual(
                 x, g, b, wqkv, bqkv, wproj, bproj, self.num_heads,
                 self.fused_attn_pad, self.dtype,
+                self._drop_path_scale(x.shape[0], train),
             )
-            if self.drop_path > 0.0 and train:
-                # the kernel adds the residual internally; recover the branch
-                # and re-apply the per-sample stochastic-depth mask outside
-                # (rng draw order matches the unfused path exactly)
-                x = x + self._drop_path(x_fused - x, train)
-            else:
-                x = x_fused
         else:
             y, attn = Attention(
                 self.dim, self.num_heads, dtype=self.dtype, use_flash=self.use_flash,
@@ -261,14 +257,16 @@ class Block(nn.Module):
                 b2 = b2 * ls2
             B, N, D = x.shape
             # x keeps its stream dtype; only the branch matmuls run in
-            # self.dtype (flax Dense(dtype=...) semantics)
-            out = fused_mlp_residual(
+            # self.dtype (flax Dense(dtype=...) semantics). The per-sample
+            # drop-path scale is expanded to rows (b-major, matching the
+            # reshape) and applied inside the kernel.
+            scale = self._drop_path_scale(B, train)
+            if scale is not None:
+                scale = jnp.broadcast_to(scale[:, None], (B, N)).reshape(B * N)
+            return fused_mlp_residual(
                 x.reshape(B * N, D), g, b, w1, b1, w2, b2,
-                self.fused_mlp_tile_m, self.dtype,
+                self.fused_mlp_tile_m, self.dtype, scale,
             ).reshape(B, N, D)
-            if self.drop_path > 0.0 and train:
-                return x + self._drop_path(out - x, train)
-            return out
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(F, dtype=self.dtype, kernel_init=_trunc_normal(0.02), name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)  # torch nn.GELU default (exact erf)
@@ -286,6 +284,18 @@ class Block(nn.Module):
         rng = self.make_rng("dropout")
         mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
         return x * mask / keep
+
+    def _drop_path_scale(self, batch: int, train: bool):
+        """The per-sample mask/keep factor of _drop_path as a (B,) vector
+        for the fused kernels' in-kernel branch scale — SAME rng stream and
+        draw position, so fused and plain paths consume identical
+        randomness."""
+        if self.drop_path == 0.0 or not train:
+            return None
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (batch, 1, 1))
+        return mask.reshape(batch).astype(jnp.float32) / keep
 
 
 class VisionTransformer(nn.Module):
