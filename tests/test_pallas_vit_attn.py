@@ -185,3 +185,33 @@ def test_block_fused_min_seq_gates_by_token_count(rng):
         want = plain.apply({"params": params}, x, False, False)
         got = gated.apply({"params": params}, x, False, False)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attn_scale_matches_outside_composition(rng):
+    """The in-kernel per-sequence branch scale (stochastic depth) must
+    equal x + s·(out − x) of the unscaled kernel, in value AND grads,
+    including sequences with s=0 (dropped path)."""
+    B, N, D, H = 3, 13, 64, 2
+    x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    params = _params(rng, D)
+    s = jnp.asarray([0.0, 1.25, 1.25], jnp.float32)
+
+    base = fused_attn_residual(x, *params, H, 16)
+    want = x + s[:, None, None] * (base - x)
+    got = fused_attn_residual(x, *params, H, 16, None, s)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def loss_scaled(a):
+        return jnp.sum(fused_attn_residual(*a, H, 16, None, s) ** 2)
+
+    def loss_ref(a):
+        base = fused_attn_residual(*a, H, 16)
+        return jnp.sum((a[0] + s[:, None, None] * (base - a[0])) ** 2)
+
+    from jax.flatten_util import ravel_pytree
+
+    args = (x,) + params
+    ga, _ = ravel_pytree(jax.grad(loss_scaled)(args))
+    gb, _ = ravel_pytree(jax.grad(loss_ref)(args))
+    rel = float(jnp.linalg.norm(ga - gb) / jnp.linalg.norm(gb))
+    assert rel < 1e-5, rel

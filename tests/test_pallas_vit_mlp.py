@@ -145,3 +145,33 @@ def test_block_fused_mlp_keeps_f32_residual_stream_under_bf16(rng):
     assert got.dtype == want.dtype == jnp.float32
     scale = float(jnp.abs(want).max())
     assert float(jnp.abs(got - want).max()) < 0.02 * scale
+
+
+def test_fused_mlp_scale_matches_outside_composition(rng):
+    """The in-kernel per-row branch scale (stochastic depth) must equal
+    x + s·(out − x) of the unscaled kernel, in value AND grads, including
+    rows with s=0 and a padded tail tile."""
+    M, D, F = 70, 64, 256
+    x = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    params = _params(rng, D, F)
+    s = jnp.asarray(rng.choice([0.0, 1.25], size=(M,)), jnp.float32)
+
+    base = fused_mlp_residual(x, *params, 32)
+    want = x + s[:, None] * (base - x)
+    got = fused_mlp_residual(x, *params, 32, None, s)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def loss_scaled(a):
+        return jnp.sum(fused_mlp_residual(a[0], *a[1:], 32, None, s) ** 2)
+
+    def loss_ref(a):
+        base = fused_mlp_residual(a[0], *a[1:], 32)
+        return jnp.sum((a[0] + s[:, None] * (base - a[0])) ** 2)
+
+    from jax.flatten_util import ravel_pytree
+
+    args = (x,) + params
+    ga, _ = ravel_pytree(jax.grad(loss_scaled)(args))
+    gb, _ = ravel_pytree(jax.grad(loss_ref)(args))
+    rel = float(jnp.linalg.norm(ga - gb) / jnp.linalg.norm(gb))
+    assert rel < 1e-5, rel
