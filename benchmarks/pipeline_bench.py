@@ -54,7 +54,7 @@ def bench_main_dino(batch=8, flash=0, remat=0, fused_mlp=0, fused_attn=0, dpr10=
         # dpr10=0 (drop_path 0.0) keeps continuity with the round-2/3
         # main_dino numbers; dpr10=1 measures the reference-default 0.1
         # (since round 5 the fused kernels stay engaged under drop_path —
-        # the mask composes outside the kernel on the residual delta)
+        # the per-sample mask rides inside the kernels as the branch scale)
         drop_path_rate=dpr10 / 10.0,
         fused_min_seq=fused_min_seq,
     )

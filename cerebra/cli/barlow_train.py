@@ -42,8 +42,8 @@ def main(argv=None):
 
     parser.add_argument(
         "--remat", type=bool_flag, default=False,
-        help="per-block remat in both ResNet towers — memory lever that "
-        "lifts the per-chip batch ceiling (B=512 OOMs on 16 GB without it)",
+        help="nested stage+block remat in both ResNet towers — memory lever "
+        "that lifts the per-chip batch ceiling (B=512 OOMs without it)",
     )
     parser.add_argument(
         "--pretrained_backbone", type=str, default="",

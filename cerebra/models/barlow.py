@@ -39,9 +39,9 @@ class BarlowTwins(nn.Module):
     projector_sizes: Sequence[int] = (8192, 8192, 8192)
     eeg_in_channels: int = 96
     dtype: Optional[Any] = None
-    # per-block rematerialization in both ResNet towers: trades one extra
-    # forward for ~5x activation memory, lifting the per-chip batch ceiling
-    # (B=512 OOMs on 16 GB HBM without it)
+    # nested stage+block rematerialization in both ResNet towers (see
+    # models/resnet.py): 2.8x activation-memory cut for ~26% throughput,
+    # lifting the per-chip batch ceiling
     remat: bool = False
 
     @nn.compact

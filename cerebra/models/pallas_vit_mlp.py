@@ -239,7 +239,7 @@ def _mlp_core(x, s2, g, b, w1, b1, w2, b2, tile_m, compute_dtype, scaled):
     return out
 
 
-def _pad_scale(s2, tile_m, scaled, n_rows):
+def _pad_scale(s2, tile_m, scaled):
     if not scaled:
         return jnp.ones((tile_m, 128), jnp.float32)
     return _pad_rows(s2, tile_m)
@@ -255,7 +255,7 @@ def _fwd(x, s2, g, b, w1, b1, w2, b2, tile_m, compute_dtype, scaled):
     F = w1.shape[1]
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     xp = _pad_rows(x, tile_m)
-    sp = _pad_scale(s2, tile_m, scaled, xp.shape[0])
+    sp = _pad_scale(s2, tile_m, scaled)
     grid = (xp.shape[0] // tile_m,)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, cdt=cdt, scaled=scaled),
@@ -279,7 +279,7 @@ def _bwd(tile_m, compute_dtype, scaled, res, dout):
     F = w1.shape[1]
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     xp = _pad_rows(x, tile_m)
-    sp = _pad_scale(s2, tile_m, scaled, xp.shape[0])
+    sp = _pad_scale(s2, tile_m, scaled)
     dp = _pad_rows(dout.astype(x.dtype), tile_m)
     grid = (xp.shape[0] // tile_m,)
     f32 = jnp.float32

@@ -168,14 +168,14 @@ class Block(nn.Module):
     use_flash: bool = False
     # Fused Pallas MLP half-block (LN2→fc1→GELU→fc2→residual in one kernel
     # pair, recompute backward — cerebra.models.pallas_vit_mlp). Identical
-    # param tree. Under active drop_path the kernel still runs and the
-    # per-sample stochastic-depth mask is re-applied outside it on the
-    # recovered branch (out - x) — one elementwise pass, XLA-fused.
+    # param tree. Under active drop_path the kernel stays engaged: the
+    # per-sample mask/keep factor is passed in as the branch scale and
+    # applied INSIDE the kernel (mask drawn outside, same rng stream).
     use_fused_mlp: bool = False
     # Fused Pallas attention half-block (LN1→QKV→MHA→proj→residual in one
     # kernel pair, recompute backward — cerebra.models.pallas_vit_attn).
     # Identical param tree; engaged whenever the attention map is not
-    # needed (drop_path composes outside the kernel, as above).
+    # needed (drop_path rides inside the kernel, as above).
     use_fused_attn: bool = False
     # Mosaic lowering knobs for the fused kernels (interpret-mode tests
     # cannot see lowering rejections — CLAUDE.md blind spot): the sequence

@@ -48,8 +48,8 @@ class BarlowConfig:
     # optional local torchvision resnet50 checkpoint for both towers
     # (extension — the reference towers are random-init, net.py:15-19)
     pretrained_backbone: str = ""
-    # per-block remat in both ResNet towers (memory lever for large per-chip
-    # batches; B=512 needs it on 16 GB HBM)
+    # nested stage+block remat in both ResNet towers (memory lever for
+    # large per-chip batches; B=512 needs it on 16 GB HBM)
     remat: bool = False
 
 
@@ -80,16 +80,35 @@ def barlow_train(
             f"{mesh.shape[mesh.axis_names[0]]}"
         )
 
-    # 1) one-shot device spectrogram of the whole EEG corpus
-    from cerebra.signal.spectro import melspectrogram
+    # 1) device spectrogram of the whole EEG corpus, CHUNKED under one jit:
+    # eagerly, the stft chain (framed copies, complex spectrum, |.|²) holds
+    # ~13 GB of live intermediates at n=2048 — that transient peak, not the
+    # training program, is what OOM'd Barlow B=512. One jitted signature per
+    # chunk width keeps the peak at ~1/8th and lets XLA free intermediates.
+    from cerebra.signal.spectro import mel_filterbank, melspectrogram
 
     eeg_ct = jnp.swapaxes(jnp.asarray(eeg, dtype=jnp.float32), 1, 2)  # (N, C, T)
-    mels = melspectrogram(eeg_ct, sr=sample_rate, n_mels=cfg.n_mels)  # (N, C, M, F)
-    y2_all = jnp.transpose(mels, (0, 2, 3, 1))  # NHWC with C spectro channels
-    # free the spectrogram intermediates NOW (~1.3 GB at corpus scale) —
-    # as live locals they would otherwise hold HBM for the whole run, and
-    # B=512 needs the headroom (the compiled epoch itself is ~11.8 GB)
-    del eeg_ct, mels
+    t_len = eeg_ct.shape[-1]
+    mel_fft = int(2 ** np.floor(np.log2(max(t_len, 2)))) if t_len < 2048 else 2048
+    mel_w = jnp.asarray(
+        mel_filterbank(sample_rate, mel_fft, cfg.n_mels), jnp.float32
+    )
+
+    @jax.jit
+    def _spect_chunk(e):  # (n_chunk, C, T) → (n_chunk, M, F, C) NHWC
+        m = melspectrogram(e, sr=sample_rate, n_mels=cfg.n_mels, mel_weights=mel_w)
+        return jnp.transpose(m, (0, 2, 3, 1))
+
+    chunk = 256
+    if n <= chunk:
+        y2_all = _spect_chunk(eeg_ct)
+    else:
+        n_pad = -n % chunk  # pad to one signature; sliced off below
+        ep = jnp.pad(eeg_ct, ((0, n_pad), (0, 0), (0, 0))) if n_pad else eeg_ct
+        y2_all = jnp.concatenate(
+            [_spect_chunk(ep[i : i + chunk]) for i in range(0, n + n_pad, chunk)]
+        )[:n]
+    del eeg_ct  # ~0.4 GB at corpus scale; not needed for the whole run
     y1_all = jnp.asarray(images, dtype=jnp.float32)
 
     model = BarlowTwins(projector_sizes=cfg.projector, eeg_in_channels=eeg.shape[-1],

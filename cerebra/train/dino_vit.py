@@ -84,9 +84,9 @@ class DinoVitConfig:
     # measured the 4×96 local views (N=145) flat-to-worse fused
     fused_min_seq: int = 0
     # student stochastic depth (dino/main_dino.py:105 default 0.1; the
-    # teacher is built WITHOUT drop path, :183-190). Blocks with an active
-    # drop_path keep the XLA path during training (the fused kernels add
-    # the residual internally and cannot express the per-sample mask).
+    # teacher is built WITHOUT drop path, :183-190). The fused kernels stay
+    # engaged: the per-sample mask/keep factor rides INSIDE them as the
+    # branch scale (drawn outside with the plain path's exact rng stream).
     drop_path_rate: float = 0.1
 
 
