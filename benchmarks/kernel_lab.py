@@ -1295,6 +1295,106 @@ def exp_vitattn(batch=16, n_tokens=785, dim=384, heads=6, pad=16):
 EXPS["vitattn"] = exp_vitattn
 
 
+def exp_barlowroof(batch=256):
+    """Roofline attribution for barlow_train (the round-4 verdict's open
+    question: is the recipe's 52 TF/s position XLA's ResNet-50/conv ceiling
+    on this chip, or recoverable recipe overhead?).
+
+    Three levels, all at the recipe's exact shapes (B=256 per tower, 224²,
+    bf16), fwd and fwd+bwd:
+      1. the dominant isolated convs (stem + one 3×3 and 1×1 per stage) —
+         XLA's raw conv ceiling at these shapes;
+      2. the whole ResNet-50 tower (train-mode BN, mutable batch_stats,
+         exactly as the recipe applies it) — the tower's glued position;
+      3. the projector matmuls — the MXU sanity bar.
+    recipe-vs-tower gap = recipe overhead (spectrogram, 2nd tower glue,
+    loss, optimizer); tower-vs-conv gap = XLA's inter-conv glue.
+
+    FLOP convention: TF/s lines here use TRUE flops (2×MACs). The recipe's
+    BENCH_AUX rows count MACs (ResNet-50 "4.1 GF" fwd), so its printed
+    %-of-peak is HALF the true-flops position — stated in the ledger.
+    """
+    rng = np.random.default_rng(0)
+    GF = 1e-9
+
+    def s(t):
+        return jnp.sum(t.astype(jnp.float32))
+
+    def report(tag, fn, args, gflops, grad_wrt=None):
+        f = jax.jit(lambda *a: s(fn(*a)))
+        dt = timeit(f, *args)
+        line = f"[barlowroof] {tag:34s} fwd {dt*1e3:8.3f} ms  {gflops/dt/1e3:6.1f} TF/s"
+        if grad_wrt is not None:
+            vg = jax.value_and_grad(lambda *a: s(fn(*a)), argnums=grad_wrt)
+
+            def full(*a):
+                val, grads = vg(*a)
+                return val + sum(
+                    jnp.sum(t.astype(jnp.float32)) for t in jax.tree.leaves(grads)
+                )
+
+            dtg = timeit(jax.jit(full), *args)
+            line += f" | fwd+bwd {dtg*1e3:8.3f} ms  {3*gflops/dtg/1e3:6.1f} TF/s(3x)"
+        print(line, flush=True)
+
+    def conv(tag, h, w, cin, cout, k, stride=1):
+        x = jnp.asarray(rng.normal(size=(batch, h, w, cin)) * 0.1, jnp.bfloat16)
+        f = jnp.asarray(rng.normal(size=(k, k, cin, cout)) * 0.05, jnp.bfloat16)
+        ho, wo = h // stride, w // stride
+        gf = 2 * batch * ho * wo * cout * k * k * cin * GF
+
+        def run(x, f):
+            return jax.lax.conv_general_dilated(
+                x, f, (stride, stride), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        report(f"{tag} {k}x{k} s{stride} {cin}->{cout} @{h}", run, (x, f),
+               gflops=gf, grad_wrt=(0, 1))
+
+    # --- 1. isolated convs at the ResNet-50 stage shapes
+    conv("stem ", 224, 224, 3, 64, 7, stride=2)
+    conv("s1   ", 56, 56, 64, 64, 3)
+    conv("s2   ", 28, 28, 128, 128, 3)
+    conv("s3   ", 14, 14, 256, 256, 3)
+    conv("s4   ", 7, 7, 512, 512, 3)
+    conv("s3 1x1 expand", 14, 14, 256, 1024, 1)
+
+    # --- 2. the whole tower, applied exactly as the recipe does
+    from cerebra.models.resnet import resnet50
+
+    model = resnet50(dtype=jnp.bfloat16, zero_init_residual=True)
+    x = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)) * 0.5, jnp.bfloat16)
+    variables = jax.jit(lambda k, xs: model.init(k, xs, train=True))(
+        jax.random.key(0), x[:8]
+    )
+    params, bstats = variables["params"], variables["batch_stats"]
+    # ResNet-50 @224, no fc: 4.09 GMACs -> 8.18 true GF fwd per image
+    tower_gf = 8.18 * batch
+
+    def tower(x, p, b):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": b}, x, train=True, mutable=["batch_stats"]
+        )
+        return out
+
+    report(f"ResNet-50 tower B={batch} (true GF)", tower, (x, params, bstats),
+           gflops=tower_gf, grad_wrt=(0, 1))
+
+    # --- 3. projector matmuls (MXU sanity bar)
+    h1 = jnp.asarray(rng.normal(size=(batch, 2048)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(2048, 8192)) * 0.02, jnp.bfloat16)
+    h2 = jnp.asarray(rng.normal(size=(batch, 8192)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(size=(8192, 8192)) * 0.01, jnp.bfloat16)
+    report("proj (B,2048)@(2048,8192)", lambda a, b: a @ b, (h1, w1),
+           gflops=2 * batch * 2048 * 8192 * GF, grad_wrt=(0, 1))
+    report("proj (B,8192)@(8192,8192)", lambda a, b: a @ b, (h2, w2),
+           gflops=2 * batch * 8192 * 8192 * GF, grad_wrt=(0, 1))
+
+
+EXPS["barlowroof"] = exp_barlowroof
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:] or ["baseline"]
     print(f"devices: {jax.devices()}", flush=True)
